@@ -1,0 +1,114 @@
+"""Deterministic geocoding of web pages → WGS84 points.
+
+The north-star input is a Common-Crawl-style pages table with no coordinates;
+pages are geocoded *deterministically* from their key so that tile
+assignments are exactly reproducible (the correctness gate). Two paths:
+
+1. `geocode_id_*_sql` — closed-form modular arithmetic over a BIGINT key.
+   Pure SQL, runs identically on Spark and DuckDB (oracle parity), stays in
+   whole-stage codegen. Used for synthetic/bench tables keyed by id.
+
+2. `geocode_url_pandas` — FNV-1a 64-bit over the raw url bytes, Arrow-
+   vectorized (no per-row Python), for real string-keyed tables at scale.
+
+The distribution is *coast-biased*: a configurable fraction of keys snap
+near a small set of "coastal" hot centers, producing the skewed hot cells
+the north rule requires salting for (the reference's study area is likewise
+coast-concentrated: wcofs.gpkg study_area, PyOFS/model/wcofs.py:67).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Hot "coastal" centers (lon, lat) — a stylized west-coast shoreline matching
+# the reference's WCOFS domain extent (ref: PyOFS/model/wcofs.py study area).
+COAST_CENTERS: list[tuple[float, float]] = [
+    (-124.5, 48.4),
+    (-124.0, 44.6),
+    (-123.8, 39.4),
+    (-122.4, 37.8),
+    (-120.6, 34.5),
+    (-117.2, 32.7),
+]
+HOT_FRACTION_MOD = 10  # keys with key % 10 < HOT_MOD_LT are coast-biased
+HOT_MOD_LT = 4  # → 40% of pages land in ~6 hot clusters (skew driver)
+
+# Modular mixing constants (primes) — arbitrary but frozen; changing them
+# changes every tile assignment, so they are part of the contract.
+_P1, _P2, _P3 = 9973, 7919, 104729
+
+
+def geocode_id_lon_sql(key_col: str) -> str:
+    """Longitude in [-180, 180) from a bigint key — identical SQL on both engines."""
+    centers_lon = ",".join(repr(c[0]) for c in COAST_CENTERS)
+    n_c = len(COAST_CENTERS)
+    return (
+        f"CASE WHEN ({key_col}) % {HOT_FRACTION_MOD} < {HOT_MOD_LT} "
+        # hot: snap near a coast center with a +-0.5 deg jitter
+        f"THEN element_at(array({centers_lon}), "
+        f"cast((({key_col}) * {_P3}) % {n_c} + 1 as int)) "
+        f"+ ((({key_col}) * {_P1}) % 1000) / 1000.0 - 0.5 "
+        # cold: uniform over the globe
+        f"ELSE ((({key_col}) * {_P1}) % 360000) / 1000.0 - 180.0 END"
+    )
+
+
+def geocode_id_lat_sql(key_col: str) -> str:
+    centers_lat = ",".join(repr(c[1]) for c in COAST_CENTERS)
+    n_c = len(COAST_CENTERS)
+    return (
+        f"CASE WHEN ({key_col}) % {HOT_FRACTION_MOD} < {HOT_MOD_LT} "
+        f"THEN element_at(array({centers_lat}), "
+        f"cast((({key_col}) * {_P3}) % {n_c} + 1 as int)) "
+        f"+ ((({key_col}) * {_P2}) % 1000) / 1000.0 - 0.5 "
+        f"ELSE ((({key_col}) * {_P2}) % 180000) / 1000.0 - 90.0 END"
+    )
+
+
+def duckdb_compat(sql: str) -> str:
+    """Translate the tiny Spark-SQL surface used here to DuckDB SQL.
+
+    Only two constructs differ: array literal + element_at (1-based in both,
+    DuckDB spells them list_value / list_extract) and integer div.
+    """
+    out = sql.replace("array(", "list_value(").replace("element_at(", "list_extract(")
+    return out
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a64_np(urls: pd.Series) -> np.ndarray:
+    """Vectorized-ish FNV-1a over a string Series (bytes-level, deterministic)."""
+    return np.fromiter(
+        (_fnv1a64(u.encode("utf-8")) for u in urls), dtype=np.uint64, count=len(urls)
+    )
+
+
+def geocode_url_pandas(urls: pd.Series) -> pd.DataFrame:
+    """url → (lon, lat) with the same coast-biased distribution as the SQL path.
+
+    Used inside an Arrow-batched pandas UDF (see plans/pipeline.py).
+    """
+    h = fnv1a64_np(urls).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+    hot = (h % HOT_FRACTION_MOD) < HOT_MOD_LT
+    centers = np.array(COAST_CENTERS)
+    ci = (h * _P3) % len(COAST_CENTERS)
+    lon = np.where(
+        hot,
+        centers[ci, 0] + ((h * _P1) % 1000) / 1000.0 - 0.5,
+        ((h * _P1) % 360000) / 1000.0 - 180.0,
+    )
+    lat = np.where(
+        hot,
+        centers[ci, 1] + ((h * _P2) % 1000) / 1000.0 - 0.5,
+        ((h * _P2) % 180000) / 1000.0 - 90.0,
+    )
+    return pd.DataFrame({"lon": lon, "lat": lat})

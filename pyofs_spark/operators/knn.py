@@ -1,0 +1,167 @@
+"""Distributed kNN join (and its k=1 special case, the nearest-neighbor
+regrid join).
+
+Reference semantics being generalized:
+- 1-NN scattered regrid `interpolate_grid(..., 'nearest')`
+  (ref: PyOFS/model/wcofs.py:1791-1827) — scipy cKDTree over all pairs.
+- kNN station lookup (north_rule; ref context: station layers
+  hf_radar.py:198-252, data_buoy.py:64-71).
+
+Spark-first algorithm (no KD-tree, no driver collect of the big side):
+
+1. Index both sides into quad cells at resolution `res` (functions/cells.py).
+2. Pass r = 1, 2, ..., max_ring: for the still-unsettled queries, explode
+   the (2r+1)² cell disk around each query cell, hash-join against the
+   points bucketed by cell, take the k best by (squared-degree distance,
+   point_id) with a window.
+3. A query is SETTLED after pass r iff it found ≥ k candidates and its k-th
+   distance < (r * cell_size)² — any point in an unexplored cell is at least
+   r*cell_size away (chebyshev ring ≥ r+1 ⇒ coordinate gap ≥ r*cell_size),
+   so the answer cannot change. This makes the output EXACTLY equal to the
+   brute-force result, with the deterministic tie-break (d², point_id).
+4. Queries still unsettled after max_ring fall back to a broadcast
+   brute-force join (they are the sparse tail — isolated mid-ocean points).
+
+Scale notes (100 TB): pass 1 dominates and is a single shuffle join keyed by
+cell id; the points side is small (stations/grid) → broadcast; the disk
+explode multiplies queries ×9 only. Skewed hot cells on the QUERY side are
+harmless (queries never group by cell); skew on the points side is handled
+by broadcasting. For large-large NN joins, `salt_hot_cells` in
+operators/skew.py pre-splits hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells
+
+
+def _with_cell_xy(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    return df.withColumn("_cx", F.expr(cells.cell_x_sql(lon, res))).withColumn(
+        "_cy", F.expr(cells.cell_y_sql(lat, res))
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    res: int = 6,
+    query_key: str = "query_id",
+    point_key: str = "point_id",
+    max_ring: int = 4,
+    broadcast_points: bool = True,
+) -> DataFrame:
+    """Exact kNN join: for each query row, the k nearest point rows.
+
+    queries: (query_key, lon, lat, ...); points: (point_key, lon, lat, ...).
+    Returns (query cols..., point_key, dist2, knn_rank) with
+    knn_rank ∈ [1, k] ordered by (dist2, point_key).
+    """
+    size = cells.cell_size_deg(res)
+    nx = cells.nx(res)
+    q = _with_cell_xy(queries, res).select(
+        query_key, F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"), "_cx", "_cy"
+    )
+    p = _with_cell_xy(points, res).select(
+        point_key,
+        F.col("lon").alias("_plon"),
+        F.col("lat").alias("_plat"),
+        (F.col("_cy") * nx + F.col("_cx")).alias("_pcell"),
+    )
+    if broadcast_points:
+        p = F.broadcast(p)
+
+    remaining = q
+    settled_parts: list[DataFrame] = []
+    win = Window.partitionBy(query_key).orderBy("dist2", point_key)
+
+    for ring in range(1, max_ring + 1):
+        offsets = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in cells.disk_offsets(ring)
+            ]
+        )
+        cand_cells = remaining.withColumn("_o", F.explode(offsets)).select(
+            query_key,
+            "_qlon",
+            "_qlat",
+            "_cx",
+            "_cy",
+            (
+                F.least(
+                    F.lit(cells.ny(res) - 1),
+                    F.greatest(F.lit(0), F.col("_cy") + F.col("_o.dy")),
+                )
+                * nx
+                + F.pmod(F.col("_cx") + F.col("_o.dx") + nx, F.lit(nx))
+            ).alias("_qcell"),
+        ).dropDuplicates([query_key, "_qcell"])
+        cand = cand_cells.join(p, cand_cells["_qcell"] == p["_pcell"], "inner").withColumn(
+            "dist2",
+            (F.col("_qlon") - F.col("_plon")) ** 2 + (F.col("_qlat") - F.col("_plat")) ** 2,
+        )
+        topk = (
+            cand.withColumn("knn_rank", F.row_number().over(win))
+            .filter(F.col("knn_rank") <= k)
+            .select(query_key, "_qlon", "_qlat", "_cx", "_cy", point_key, "dist2", "knn_rank")
+        )
+        # settled: k found and k-th distance strictly inside the explored radius
+        kth = topk.groupBy(query_key).agg(
+            F.count("*").alias("_n"), F.max("dist2").alias("_kth")
+        )
+        bound = (ring * size) ** 2
+        done_keys = kth.filter((F.col("_n") >= k) & (F.col("_kth") < F.lit(bound))).select(
+            query_key
+        )
+        settled_parts.append(topk.join(done_keys, query_key, "left_semi"))
+        remaining = remaining.join(done_keys, query_key, "left_anti")
+        if ring == max_ring:
+            break
+
+    # brute-force tail: tiny remaining set x all points
+    tail = (
+        remaining.crossJoin(p.drop("_pcell"))
+        .withColumn(
+            "dist2",
+            (F.col("_qlon") - F.col("_plon")) ** 2 + (F.col("_qlat") - F.col("_plat")) ** 2,
+        )
+        .withColumn("knn_rank", F.row_number().over(win))
+        .filter(F.col("knn_rank") <= k)
+        .select(query_key, "_qlon", "_qlat", "_cx", "_cy", point_key, "dist2", "knn_rank")
+    )
+    settled_parts.append(tail)
+
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionByName(part)
+    return out.select(query_key, point_key, "dist2", "knn_rank")
+
+
+def nn_value_join(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str,
+    res: int = 6,
+    query_key: str = "query_id",
+    point_key: str = "point_id",
+    max_ring: int = 4,
+) -> DataFrame:
+    """1-NN value transfer — the regrid-nearest spatial join
+    (semantics of wcofs.py:1791-1827 with tie-break (d², point_id)).
+    Returns (query_key, point_key, value_col, dist2)."""
+    nn = knn_join(
+        queries,
+        points.filter(F.col(value_col).isNotNull()),
+        k=1,
+        res=res,
+        query_key=query_key,
+        point_key=point_key,
+        max_ring=max_ring,
+    )
+    return nn.join(
+        points.select(point_key, value_col), point_key, "left"
+    ).select(query_key, point_key, value_col, "dist2")

@@ -1,0 +1,90 @@
+"""End-to-end tile-assignment pipeline (the north-star job).
+
+    pages → geocode → cell index (res R) → PIP vs study polygons →
+    kNN station lookup → tile assignment table (+ lineage)
+
+Reference lifecycle being re-expressed (SURVEY §3.1,
+main/leaflet/write_daily_average.py): scan → spatial filter → align/join →
+derive → sink, with skip-if-exists resumability (write_daily_average.py:
+289-311) done properly as a lineage anti-join (lineage.py).
+
+Plan shape (all JVM-side except nothing — the default path uses the
+fixed-polygon codegen PIP and arithmetic geocode):
+
+    scan pages (column-pruned: key, url, warc_ts, lang)
+      → withColumn lon/lat          [closed-form, WSCG]
+      → withColumn cell_id(res)     [closed-form, WSCG]
+      → withColumn in_*/polygon_id  [unrolled ray cast, WSCG]
+      → broadcast kNN join to stations (expanding-ring exact kNN)
+      → write, partitioned by (warc_day, cell_prefix)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells, geocode, stations
+from ..operators import knn as knn_op
+from ..operators.pip import pip_fixed
+
+DEFAULT_RES = 6  # 2.8° cells for the station index
+TILE_RES = 8  # 0.70° tiles for the assignment output
+
+
+def geocode_pages(pages: DataFrame, key_col: str = "page_id") -> DataFrame:
+    return pages.withColumn(
+        "lon", F.expr(geocode.geocode_id_lon_sql(key_col))
+    ).withColumn("lat", F.expr(geocode.geocode_id_lat_sql(key_col)))
+
+
+def assign_cells(df: DataFrame, res: int = TILE_RES) -> DataFrame:
+    return df.withColumn("cell_id", F.expr(cells.cell_id_sql("lon", "lat", res)))
+
+
+def station_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        stations.STATIONS, "station_id string, lon double, lat double"
+    )
+
+
+def tile_assignment(
+    spark: SparkSession,
+    pages: DataFrame,
+    key_col: str = "page_id",
+    k: int = 3,
+    tile_res: int = TILE_RES,
+    knn_res: int = DEFAULT_RES,
+    with_knn: bool = True,
+) -> DataFrame:
+    """The flagship query: per page → (cell_id, polygon_id, k nearest stations).
+
+    Output: (key, url, warc_ts, lang, lon, lat, cell_id, polygon_id,
+             knn_stations: array<string> ordered by (dist², station_id)).
+    """
+    g = assign_cells(geocode_pages(pages, key_col), tile_res)
+    g = pip_fixed(g)
+    base = g.select(
+        key_col, "url", "warc_ts", "lang", "lon", "lat", "cell_id", "polygon_id"
+    )
+    if not with_knn:
+        return base
+    nn = knn_op.knn_join(
+        base.select(key_col, "lon", "lat"),
+        station_df(spark),
+        k=k,
+        res=knn_res,
+        query_key=key_col,
+        point_key="station_id",
+        max_ring=6,
+    )
+    agg = nn.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("knn_rank", "station_id", "dist2"))
+        ).alias("_s")
+    ).select(
+        key_col,
+        F.transform("_s", lambda s: s["station_id"]).alias("knn_stations"),
+        F.transform("_s", lambda s: s["dist2"]).alias("knn_dist2"),
+    )
+    return base.join(agg, key_col, "left")
