@@ -21,6 +21,8 @@ Everything here is emitted as *SQL expression strings* so that:
 
 from __future__ import annotations
 
+from .sqlgen import flit
+
 MAX_RES = 20  # 180/2^20 deg ≈ 19 m cells — finer than any use case here
 
 
@@ -43,7 +45,7 @@ def cell_x_sql(lon_col: str, res: int) -> str:
     # floor((lon+180)/size), clamped to [0, nx-1]
     return (
         f"least({n - 1}, greatest(0, "
-        f"cast(floor(({lon_col} + 180.0) / {size!r}) as bigint)))"
+        f"cast(floor(({lon_col} + 180.0e0) / {flit(size)}) as bigint)))"
     )
 
 
@@ -52,7 +54,7 @@ def cell_y_sql(lat_col: str, res: int) -> str:
     size = cell_size_deg(res)
     return (
         f"least({n - 1}, greatest(0, "
-        f"cast(floor(({lat_col} + 90.0) / {size!r}) as bigint)))"
+        f"cast(floor(({lat_col} + 90.0e0) / {flit(size)}) as bigint)))"
     )
 
 
@@ -62,26 +64,28 @@ def cell_id_sql(lon_col: str, lat_col: str, res: int) -> str:
 
 
 def parent_cell_sql(cell_id_col: str, res: int) -> str:
-    """Parent cell id at res-1 given a cell id at res."""
+    """Parent cell id at res-1 given a cell id at res (portable SQL: no
+    engine-specific integer-div operator; ids are non-negative so floor
+    division over double is exact below 2**53)."""
     n = nx(res)
     np_ = nx(res - 1)
     # x = id % n, y = id // n; parent = (y>>1)*np + (x>>1)
     return (
-        f"(cast(floor({cell_id_col} / {n}) as bigint) div 2) * {np_} "
-        f"+ (({cell_id_col} % {n}) div 2)"
+        f"(cast(floor(cast(floor({cell_id_col} / {n}.0e0) as bigint) / 2.0e0) as bigint)"
+        f" * {np_} + cast(floor(({cell_id_col} % {n}) / 2.0e0) as bigint))"
     )
 
 
 def cell_center_lon_sql(cell_id_col: str, res: int) -> str:
     n = nx(res)
     size = cell_size_deg(res)
-    return f"((({cell_id_col} % {n}) + 0.5) * {size!r} - 180.0)"
+    return f"((({cell_id_col} % {n}) + 0.5e0) * {flit(size)} - 180.0e0)"
 
 
 def cell_center_lat_sql(cell_id_col: str, res: int) -> str:
     n = nx(res)
     size = cell_size_deg(res)
-    return f"((cast(floor({cell_id_col} / {n}) as bigint) + 0.5) * {size!r} - 90.0)"
+    return f"((cast(floor({cell_id_col} / {n}.0e0) as bigint) + 0.5e0) * {flit(size)} - 90.0e0)"
 
 
 def neighbor_offsets(ring: int) -> list[tuple[int, int]]:

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .sqlgen import flit
+
 # Hot "coastal" centers (lon, lat) — a stylized west-coast shoreline matching
 # the reference's WCOFS domain extent (ref: PyOFS/model/wcofs.py study area).
 COAST_CENTERS: list[tuple[float, float]] = [
@@ -42,28 +44,28 @@ _P1, _P2, _P3 = 9973, 7919, 104729
 
 def geocode_id_lon_sql(key_col: str) -> str:
     """Longitude in [-180, 180) from a bigint key — identical SQL on both engines."""
-    centers_lon = ",".join(repr(c[0]) for c in COAST_CENTERS)
+    centers_lon = ",".join(flit(c[0]) for c in COAST_CENTERS)
     n_c = len(COAST_CENTERS)
     return (
         f"CASE WHEN ({key_col}) % {HOT_FRACTION_MOD} < {HOT_MOD_LT} "
         # hot: snap near a coast center with a +-0.5 deg jitter
         f"THEN element_at(array({centers_lon}), "
         f"cast((({key_col}) * {_P3}) % {n_c} + 1 as int)) "
-        f"+ ((({key_col}) * {_P1}) % 1000) / 1000.0 - 0.5 "
+        f"+ ((({key_col}) * {_P1}) % 1000) / 1000.0e0 - 0.5e0 "
         # cold: uniform over the globe
-        f"ELSE ((({key_col}) * {_P1}) % 360000) / 1000.0 - 180.0 END"
+        f"ELSE ((({key_col}) * {_P1}) % 360000) / 1000.0e0 - 180.0e0 END"
     )
 
 
 def geocode_id_lat_sql(key_col: str) -> str:
-    centers_lat = ",".join(repr(c[1]) for c in COAST_CENTERS)
+    centers_lat = ",".join(flit(c[1]) for c in COAST_CENTERS)
     n_c = len(COAST_CENTERS)
     return (
         f"CASE WHEN ({key_col}) % {HOT_FRACTION_MOD} < {HOT_MOD_LT} "
         f"THEN element_at(array({centers_lat}), "
         f"cast((({key_col}) * {_P3}) % {n_c} + 1 as int)) "
-        f"+ ((({key_col}) * {_P2}) % 1000) / 1000.0 - 0.5 "
-        f"ELSE ((({key_col}) * {_P2}) % 180000) / 1000.0 - 90.0 END"
+        f"+ ((({key_col}) * {_P2}) % 1000) / 1000.0e0 - 0.5e0 "
+        f"ELSE ((({key_col}) * {_P2}) % 180000) / 1000.0e0 - 90.0e0 END"
     )
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .sqlgen import flit
+
 # ---------------------------------------------------------------------------
 # Fixture polygons (FIXTURES.md §4): one concave coastal polygon, one with a
 # hole, one antimeridian-split multipolygon. Rings are (lon, lat) lists,
@@ -80,16 +82,16 @@ def polygon_bbox(rings: list[list[tuple[float, float]]]) -> tuple[float, float, 
 def bbox_sql(lon_col: str, lat_col: str, rings) -> str:
     x0, y0, x1, y1 = polygon_bbox(rings)
     return (
-        f"({lon_col} >= {x0!r} AND {lon_col} <= {x1!r} "
-        f"AND {lat_col} >= {y0!r} AND {lat_col} <= {y1!r})"
+        f"({lon_col} >= {flit(x0)} AND {lon_col} <= {flit(x1)} "
+        f"AND {lat_col} >= {flit(y0)} AND {lat_col} <= {flit(y1)})"
     )
 
 
 def _edge_term(lon_col: str, lat_col: str, x1: float, y1: float, x2: float, y2: float) -> str:
     return (
-        f"(CASE WHEN (({y1!r} > {lat_col}) != ({y2!r} > {lat_col})) "
-        f"AND {lon_col} < ({x2!r} - {x1!r}) * ({lat_col} - {y1!r}) "
-        f"/ ({y2!r} - {y1!r}) + {x1!r} THEN 1 ELSE 0 END)"
+        f"(CASE WHEN (({flit(y1)} > {lat_col}) != ({flit(y2)} > {lat_col})) "
+        f"AND {lon_col} < ({flit(x2)} - {flit(x1)}) * ({lat_col} - {flit(y1)}) "
+        f"/ ({flit(y2)} - {flit(y1)}) + {flit(x1)} THEN 1 ELSE 0 END)"
     )
 
 

@@ -31,7 +31,9 @@ STATIONS: list[tuple[str, float, float]] = [
 ]
 
 
-def stations_values_sql() -> str:
+def stations_values_sql(alias: str = "s") -> str:
     """VALUES clause usable verbatim in Spark SQL and DuckDB oracle SQL."""
-    rows = ", ".join(f"('{s}', {x!r}, {y!r})" for s, x, y in STATIONS)
-    return f"(VALUES {rows}) AS stations(station_id, s_lon, s_lat)"
+    from .sqlgen import flit
+
+    rows = ", ".join(f"('{s}', {flit(x)}, {flit(y)})" for s, x, y in STATIONS)
+    return f"(VALUES {rows}) AS {alias}(station_id, s_lon, s_lat)"

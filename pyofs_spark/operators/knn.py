@@ -102,7 +102,8 @@ def knn_join(
         ).dropDuplicates([query_key, "_qcell"])
         cand = cand_cells.join(p, cand_cells["_qcell"] == p["_pcell"], "inner").withColumn(
             "dist2",
-            (F.col("_qlon") - F.col("_plon")) ** 2 + (F.col("_qlat") - F.col("_plat")) ** 2,
+            (F.col("_qlon") - F.col("_plon")) * (F.col("_qlon") - F.col("_plon"))
+            + (F.col("_qlat") - F.col("_plat")) * (F.col("_qlat") - F.col("_plat")),
         )
         topk = (
             cand.withColumn("knn_rank", F.row_number().over(win))
@@ -127,7 +128,8 @@ def knn_join(
         remaining.crossJoin(p.drop("_pcell"))
         .withColumn(
             "dist2",
-            (F.col("_qlon") - F.col("_plon")) ** 2 + (F.col("_qlat") - F.col("_plat")) ** 2,
+            (F.col("_qlon") - F.col("_plon")) * (F.col("_qlon") - F.col("_plon"))
+            + (F.col("_qlat") - F.col("_plat")) * (F.col("_qlat") - F.col("_plat")),
         )
         .withColumn("knn_rank", F.row_number().over(win))
         .filter(F.col("knn_rank") <= k)

@@ -1,0 +1,262 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair — the driver's correctness gate surface.
+
+Design rule: for closed-form operators both sides are GENERATED from the
+same Python constants/expression builders (functions/cells.py, geocode.py,
+polygons.py, stations.py), so parity holds by construction. For the
+distributed operators (kNN, regrid, dedup…) the Spark side runs the real
+engine operator and the oracle is an independent brute-force SQL statement.
+
+Every computed column is aliased identically on both sides (driver hashes
+sort columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells, geocode, polygons
+from ..functions import stations as stations_mod
+from ..sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared generated SQL fragments (single source of truth)
+# ---------------------------------------------------------------------------
+
+GEO_RES = 8  # tile resolution for the documents stand-in pages
+
+_LON = geocode.geocode_id_lon_sql("doc_id")
+_LAT = geocode.geocode_id_lat_sql("doc_id")
+_LON_DUCK = geocode.duckdb_compat(_LON)
+_LAT_DUCK = geocode.duckdb_compat(_LAT)
+_CELL = cells.cell_id_sql("lon", "lat", GEO_RES)
+
+# geocoded documents as a subquery, per engine
+GEODOC_SPARK = f"(SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents)"
+GEODOC_DUCK = f"(SELECT doc_id, {_LON_DUCK} AS lon, {_LAT_DUCK} AS lat FROM documents)"
+
+
+def _polygon_case_sql() -> str:
+    """Priority-ordered polygon_id CASE (portable SQL, generated from the
+    same polygon constants as the engine path)."""
+    whens = " ".join(
+        f"WHEN {polygons.pip_sql('lon', 'lat', rings)} THEN '{pid}'"
+        for pid, rings in polygons.POLYGONS.items()
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def geodocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic geocode — the pages stand-in."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("lon", F.expr(_LON))
+        .withColumn("lat", F.expr(_LAT))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GEO PACK — cell index, PIP, kNN, tile assignment (north-rule core)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo_cell_assign",
+    f"""
+    SELECT doc_id, lon, lat, {_CELL} AS cell_id,
+           {cells.parent_cell_sql(_CELL, GEO_RES)} AS parent_cell
+    FROM {GEODOC_DUCK} g
+    """,
+)
+def geo_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geocode + hierarchical cell assignment (ref analog: affine grid
+    addressing wcofs.py:302-306; H3/S2-style per north_rule)."""
+    return (
+        geodocs(spark, sf_dir)
+        .withColumn("cell_id", F.expr(_CELL))
+        .withColumn("parent_cell", F.expr(cells.parent_cell_sql("cell_id", GEO_RES)))
+        .select("doc_id", "lon", "lat", "cell_id", "parent_cell")
+    )
+
+
+@register(
+    "geo_pip_assign",
+    f"""
+    SELECT doc_id, {_polygon_case_sql()} AS polygon_id
+    FROM {GEODOC_DUCK} g
+    """,
+)
+def geo_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon vs the fixed study polygons, priority coalesce
+    (ref: data_buoy.py:301-323 PIP; wcofs.py:179-208 first-wins)."""
+    from ..operators.pip import pip_fixed
+
+    return pip_fixed(geodocs(spark, sf_dir)).select("doc_id", "polygon_id")
+
+
+@register(
+    "geo_pip_counts",
+    f"""
+    SELECT polygon_id, count(*) AS n_docs
+    FROM (SELECT doc_id, {_polygon_case_sql()} AS polygon_id FROM {GEODOC_DUCK} g) t
+    WHERE polygon_id IS NOT NULL
+    GROUP BY polygon_id
+    """,
+)
+def geo_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pip import pip_fixed
+
+    return (
+        pip_fixed(geodocs(spark, sf_dir))
+        .filter(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_KNN_K = 3
+_STATIONS_VALUES = stations_mod.stations_values_sql()
+
+
+@register(
+    "geo_knn_stations",
+    f"""
+    SELECT doc_id, station_id, dist2, knn_rank FROM (
+      SELECT g.doc_id, s.station_id,
+             (g.lon - s.s_lon) * (g.lon - s.s_lon)
+             + (g.lat - s.s_lat) * (g.lat - s.s_lat) AS dist2,
+             row_number() OVER (
+               PARTITION BY g.doc_id
+               ORDER BY (g.lon - s.s_lon) * (g.lon - s.s_lon)
+                        + (g.lat - s.s_lat) * (g.lat - s.s_lat), s.station_id
+             ) AS knn_rank
+      FROM {GEODOC_DUCK} g CROSS JOIN {_STATIONS_VALUES}
+    ) WHERE knn_rank <= {_KNN_K}
+    """,
+)
+def geo_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN station lookup via the expanding-ring join (north_rule);
+    oracle is an independent brute-force window query."""
+    from ..operators.knn import knn_join
+    from .pipeline import station_df
+
+    q = geodocs(spark, sf_dir).select("doc_id", "lon", "lat")
+    return knn_join(
+        q,
+        station_df(spark),
+        k=_KNN_K,
+        res=6,
+        query_key="doc_id",
+        point_key="station_id",
+        max_ring=6,
+    ).select("doc_id", "station_id", "dist2", "knn_rank")
+
+
+@register(
+    "geo_tile_assign",
+    f"""
+    WITH g AS (SELECT doc_id, lon, lat FROM {GEODOC_DUCK} gg),
+    nn AS (
+      SELECT doc_id, station_id AS nn_station, dist2 AS nn_dist2 FROM (
+        SELECT g.doc_id, s.station_id,
+               (g.lon - s.s_lon) * (g.lon - s.s_lon)
+               + (g.lat - s.s_lat) * (g.lat - s.s_lat) AS dist2,
+               row_number() OVER (
+                 PARTITION BY g.doc_id
+                 ORDER BY (g.lon - s.s_lon) * (g.lon - s.s_lon)
+                          + (g.lat - s.s_lat) * (g.lat - s.s_lat), s.station_id
+               ) AS rn
+        FROM g CROSS JOIN {_STATIONS_VALUES}
+      ) WHERE rn = 1
+    )
+    SELECT g.doc_id, {_CELL} AS cell_id, {_polygon_case_sql()} AS polygon_id,
+           nn.nn_station, nn.nn_dist2
+    FROM g JOIN nn ON g.doc_id = nn.doc_id
+    """,
+)
+def geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship tile assignment: (doc → cell, polygon, nearest station).
+    north_star golden artifact (golden_tile_assign, FIXTURES.md §8)."""
+    from ..operators.knn import knn_join
+    from ..operators.pip import pip_fixed
+    from .pipeline import station_df
+
+    g = pip_fixed(
+        geodocs(spark, sf_dir).withColumn("cell_id", F.expr(_CELL))
+    ).select("doc_id", "lon", "lat", "cell_id", "polygon_id")
+    nn = (
+        knn_join(
+            g.select("doc_id", "lon", "lat"),
+            station_df(spark),
+            k=1,
+            res=6,
+            query_key="doc_id",
+            point_key="station_id",
+            max_ring=6,
+        )
+        .select(
+            "doc_id",
+            F.col("station_id").alias("nn_station"),
+            F.col("dist2").alias("nn_dist2"),
+        )
+    )
+    return g.join(nn, "doc_id", "inner").select(
+        "doc_id", "cell_id", "polygon_id", "nn_station", "nn_dist2"
+    )
+
+
+@register(
+    "geo_cell_rollup",
+    f"""
+    SELECT parent_cell, count(*) AS n_docs, count(DISTINCT cell_id) AS n_cells
+    FROM (
+      SELECT doc_id, {_CELL} AS cell_id,
+             {cells.parent_cell_sql(_CELL, GEO_RES)} AS parent_cell
+      FROM {GEODOC_DUCK} g
+    ) t
+    GROUP BY parent_cell
+    """,
+)
+def geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid-style rollup to the parent resolution
+    (ref: overview levels PyOFS/__init__.py:202-209)."""
+    return (
+        geo_cell_assign(spark, sf_dir)
+        .groupBy("parent_cell")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cell_id").alias("n_cells"),
+        )
+    )
+
+
+def get_queries() -> dict[str, SparkQuery]:
+    # import side-effect modules that register more queries
+    from . import queries_field, queries_rel, queries_text  # noqa: F401
+
+    return dict(REGISTRY)
+
+
+def get_oracles() -> dict[str, str]:
+    from . import queries_field, queries_rel, queries_text  # noqa: F401
+
+    return dict(ORACLES)
