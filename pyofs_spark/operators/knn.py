@@ -44,6 +44,9 @@ def _with_cell_xy(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat") -
     )
 
 
+BRUTE_POINTS_THRESHOLD = 20_000  # below this, broadcast brute-force wins
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
@@ -53,12 +56,22 @@ def knn_join(
     point_key: str = "point_id",
     max_ring: int = 4,
     broadcast_points: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact kNN join: for each query row, the k nearest point rows.
 
     queries: (query_key, lon, lat, ...); points: (point_key, lon, lat, ...).
     Returns (query cols..., point_key, dist2, knn_rank) with
     knn_rank ∈ [1, k] ordered by (dist2, point_key).
+
+    strategy:
+      'brute' — broadcast the points and window over the full cross product.
+                Optimal when the points side is dimension-sized (stations):
+                one map-side join + one window shuffle, no iteration.
+      'rings' — expanding-cell-ring passes (scales to large points sides).
+      'auto'  — count the points side (cheap: it's the small side by
+                contract) and pick. This mirrors Catalyst's broadcast-vs-
+                shuffle decision, which cannot see through the ring loop.
     """
     size = cells.cell_size_deg(res)
     nx = cells.nx(res)
@@ -74,11 +87,29 @@ def knn_join(
     if broadcast_points:
         p = F.broadcast(p)
 
+    if strategy == "auto":
+        strategy = "brute" if points.count() <= BRUTE_POINTS_THRESHOLD else "rings"
+    if strategy == "brute":
+        win = Window.partitionBy(query_key).orderBy("dist2", point_key)
+        return (
+            q.crossJoin(p.drop("_pcell"))
+            .withColumn(
+                "dist2",
+                (F.col("_qlon") - F.col("_plon")) * (F.col("_qlon") - F.col("_plon"))
+                + (F.col("_qlat") - F.col("_plat")) * (F.col("_qlat") - F.col("_plat")),
+            )
+            .withColumn("knn_rank", F.row_number().over(win))
+            .filter(F.col("knn_rank") <= k)
+            .select(query_key, point_key, "dist2", "knn_rank")
+        )
+
     remaining = q
     settled_parts: list[DataFrame] = []
     win = Window.partitionBy(query_key).orderBy("dist2", point_key)
 
     for ring in range(1, max_ring + 1):
+        # truncate lineage so each pass doesn't recompute all prior passes
+        remaining = remaining.localCheckpoint(eager=False)
         offsets = F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

@@ -1,0 +1,211 @@
+"""Relational query pack over the TPC-H-ish tables: scans, filters,
+projections, joins (equi/broadcast/semi/anti), aggregations, windows,
+sorts/top-k, set ops, date arithmetic — the operator families of SURVEY
+§2.3/2.4/2.5/2.6/2.7/2.8/2.9 on generic relational inputs.
+
+The reference has none of these as explicit operators (its joins are
+spatial); Spark SQL provides them natively — these queries pin their
+semantics and exercise broadcast/shuffle strategies at scale.
+
+Money columns are 2-decimal quantized → integer-cents aggregation for
+exact cross-engine parity (same strategy as queries_field).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+from .queries import register
+
+
+def cents(col: str) -> str:
+    return f"cast(floor({col} * 100.0e0 + 0.5e0) as bigint)"
+
+
+def _sql_query(name: str, body: str):
+    def fn(spark: SparkSession, sf_dir: str, _body=body) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_body)
+
+    fn.__name__ = name
+    register(name, body)(fn)
+    return fn
+
+
+# --- A: pricing summary (TPC-H Q1 shape; agg + filter pushdown) ------------
+_sql_query(
+    "rel_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum({cents('l_quantity')}) / 100.0e0 AS sum_qty,
+           sum({cents('l_extendedprice')}) / 100.0e0 AS sum_base_price,
+           sum({cents('l_discount')}) / 100.0e0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# --- B: multi-join + top-k with deterministic order (broadcast dims) -------
+_sql_query(
+    "rel_top_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum({cents('o.o_totalprice')}) / 100.0e0 AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+
+# --- C: ranking window per group (O5 top-k pattern) -------------------------
+_sql_query(
+    "rel_window_rank",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, bal_rank FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ) AS bal_rank
+      FROM customer
+    ) t WHERE bal_rank <= 3
+    """,
+)
+
+# --- D: anti-join (F10 skip-if-exists semantics) ----------------------------
+_sql_query(
+    "rel_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    )
+    """,
+)
+
+# --- E: semi-join (U4 intersection semantics) -------------------------------
+_sql_query(
+    "rel_semi_join",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE n.n_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+    )
+    """,
+)
+
+# --- F: set ops — union / except (U1/U5 completeness-audit shape) -----------
+_sql_query(
+    "rel_set_ops",
+    """
+    SELECT 'only_ordering' AS side, k FROM (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      EXCEPT
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 0.0e0
+    ) a
+    UNION ALL
+    SELECT 'only_positive' AS side, k FROM (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 0.0e0
+      EXCEPT
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ) b
+    """,
+)
+
+# --- G: running cumulative sum (W3 cumulative-length shape) ------------------
+_sql_query(
+    "rel_cumsum",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           sum({cents('o_totalprice')}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 100.0e0 AS cum_spend
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    """,
+)
+
+# --- H: generated date spine + left join (C9 datetime ranges) ---------------
+# sequence()/generate_series differ; Spark side uses sequence+explode,
+# oracle uses generate_series — same output contract.
+_DATE_SPINE_ORACLE = """
+    WITH spine AS (
+      SELECT cast(d AS date) AS day
+      FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)
+    ),
+    daily AS (
+      SELECT cast(date_trunc('day', o_orderdate) as date) AS day, count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+      GROUP BY 1
+    )
+    SELECT spine.day, coalesce(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """
+
+
+@register("rel_date_spine", _DATE_SPINE_ORACLE)
+def rel_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH spine AS (
+          SELECT explode(sequence(DATE '1995-01-01', DATE '1995-03-31',
+                                  INTERVAL 1 DAY)) AS day
+        ),
+        daily AS (
+          SELECT cast(date_trunc('day', o_orderdate) as date) AS day, count(*) AS n
+          FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+          GROUP BY 1
+        )
+        SELECT spine.day, coalesce(daily.n, 0) AS n_orders
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+        """
+    )
+
+
+# --- I: string/scalar functions (C10/C11 filename-metadata shapes) -----------
+_sql_query(
+    "rel_scalar_funcs",
+    """
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 8)) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_slug,
+           concat(p_brand, '#', cast(p_size as string)) AS brand_size,
+           CASE WHEN p_size >= 30 THEN 'L' WHEN p_size >= 15 THEN 'M'
+                ELSE 'S' END AS size_class
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+
+# --- J: multi-source priority coalesce (J9 fallback-chain semantics) ---------
+_sql_query(
+    "rel_priority_coalesce",
+    """
+    WITH a AS (SELECT event_id, value AS v_a FROM events WHERE event_id % 3 = 0),
+    b AS (SELECT event_id, value + 1000.0e0 AS v_b FROM events WHERE event_id % 2 = 0),
+    base AS (SELECT DISTINCT event_id FROM events WHERE event_id % 6 < 4)
+    SELECT base.event_id,
+           coalesce(a.v_a, b.v_b, -9999.0e0) AS v_resolved,
+           CASE WHEN a.v_a IS NOT NULL THEN 'a'
+                WHEN b.v_b IS NOT NULL THEN 'b' ELSE 'nodata' END AS src
+    FROM base
+    LEFT JOIN a ON base.event_id = a.event_id
+    LEFT JOIN b ON base.event_id = b.event_id
+    """,
+)

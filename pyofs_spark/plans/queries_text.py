@@ -1,0 +1,348 @@
+"""Text-analysis / dedup / similarity query pack over documents+embeddings —
+the training-data-pipeline operators (deduplication, quality scoring,
+language id, fingerprinting, ANN similarity) the north star requires beyond
+the reference's own surface.
+
+Parity strategy: word codes and signatures are pure integer arithmetic over
+ascii() codepoints (identical both engines); cosine similarities are
+floor-rounded to 6 decimals BEFORE ranking with a vec_id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+from .queries import register
+from .queries_field import round6
+
+
+def _sql_query(name: str, body: str, oracle: str | None = None):
+    def fn(spark: SparkSession, sf_dir: str, _body=body) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_body)
+
+    fn.__name__ = name
+    register(name, oracle if oracle is not None else body)(fn)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Byte identity (north_star: extracted text byte-identical per url/key)
+# ---------------------------------------------------------------------------
+_sql_query(
+    "txt_byte_identity",
+    """
+    SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len,
+           n_chars, length(text) = n_chars AS len_consistent
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length, word stats, stopword ratio (arithmetic-only
+# word counting → exact parity; no regex divergence risk)
+# ---------------------------------------------------------------------------
+_WORDS_EXPR = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+
+def _count_occurrences(needle: str) -> str:
+    pad = f"concat(' ', text, ' ')"
+    return (
+        f"cast((length({pad}) - length(replace({pad}, ' {needle} ', '')))"
+        f" / {len(needle) + 2} as bigint)"
+    )
+
+
+_sql_query(
+    "txt_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_char,
+           {_WORDS_EXPR} AS n_words,
+           cast(floor(length(text) / 4.0e0) as bigint) AS approx_tokens,
+           {round6(f'length(replace(text, chr(32), chr(95))) * 1.0e0 / {_WORDS_EXPR}')}
+             AS chars_per_word,
+           {_count_occurrences('the')} + {_count_occurrences('a')} AS stopword_hits,
+           {round6(f"({_count_occurrences('the')} + {_count_occurrences('a')}) * 1.0e0 / {_WORDS_EXPR}")}
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Language id: n-gram/stopword heuristic scores + argmax prediction
+# ---------------------------------------------------------------------------
+_sql_query(
+    "txt_langid",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_count_occurrences('the')} + {_count_occurrences('a')}
+               + {_count_occurrences('of')} AS score_en,
+             {_count_occurrences('la')} + {_count_occurrences('el')}
+               + {_count_occurrences('de')} AS score_es,
+             {_count_occurrences('le')} + {_count_occurrences('et')}
+               + {_count_occurrences('un')} AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_es, score_fr,
+           CASE WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: md5 whole-doc + positional polynomial hash of the prefix
+# (rolling-hash style, unrolled — exact integer parity)
+# ---------------------------------------------------------------------------
+_POLY_TERMS = " + ".join(
+    f"cast(ascii(substring(text, {k + 1}, 1)) as bigint) * {pow(31, 7 - k, 1_000_000_007)}"
+    for k in range(8)
+)
+_sql_query(
+    "txt_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           ({_POLY_TERMS}) % 1000000007 AS fp_poly_prefix,
+           length(text) AS n_char
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup (normalized-prefix key): hash-groupBy canonicalization
+# ---------------------------------------------------------------------------
+_sql_query(
+    "dedup_exact",
+    """
+    SELECT md5(substring(text, 1, 40)) AS norm_key,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_dupes
+    FROM documents
+    GROUP BY md5(substring(text, 1, 40))
+    HAVING count(*) > 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# N-gram (word-set) Jaccard near-dup pairs on a doc subset
+# ---------------------------------------------------------------------------
+_JACCARD_BODY = """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, {UNNEST} AS w FROM docs
+      ) t WHERE w != ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+           {ROUND} AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0e0 / (sa.n + sb.n - inter) >= 0.6e0
+"""
+_JACCARD_ROUND = round6("inter * 1.0e0 / (sa.n + sb.n - inter)")
+_sql_query(
+    "dedup_ngram_jaccard",
+    _JACCARD_BODY.replace("{UNNEST}", "explode(split(text, ' '))").replace(
+        "{ROUND}", _JACCARD_ROUND
+    ),
+    oracle=_JACCARD_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))").replace(
+        "{ROUND}", _JACCARD_ROUND
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH band join (integer arithmetic → exact)
+# ---------------------------------------------------------------------------
+_N_PERM = 8
+_PERMS = [(2 * k + 3, 5 * k + 7) for k in range(_N_PERM)]  # (a, b) per perm
+_MH_PRIME = 8191
+
+# word code: ascii of first two chars + length (identical across engines)
+_WCODE = (
+    "ascii(substring(w, 1, 1)) * 10000 + "
+    "CASE WHEN length(w) >= 2 THEN ascii(substring(w, 2, 1)) ELSE 0 END * 100 + "
+    "length(w)"
+)
+_MH_COLS = ",\n             ".join(
+    f"min(({a} * code + {b}) % {_MH_PRIME}) AS mh{j}"
+    for j, (a, b) in enumerate(_PERMS)
+)
+_MINHASH_BODY = f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, {{UNNEST}} AS w FROM documents
+      ) t WHERE w != ''
+    ),
+    codes AS (SELECT doc_id, {_WCODE} AS code FROM words),
+    sigs AS (
+      SELECT doc_id,
+             {_MH_COLS}
+      FROM codes GROUP BY doc_id
+    )
+"""
+
+_sql_query(
+    "dedup_minhash_sig",
+    _MINHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))")
+    + "    SELECT * FROM sigs",
+    oracle=_MINHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
+    + "    SELECT * FROM sigs",
+)
+
+_BANDS = [
+    f"(mh{2 * i} * {_MH_PRIME + 1} + mh{2 * i + 1})" for i in range(_N_PERM // 2)
+]
+_BAND_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {i} AS band_idx, {b} AS band_key FROM sigs"
+    for i, b in enumerate(_BANDS)
+)
+_EQ_SUM = " + ".join(
+    f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(_N_PERM)
+)
+_LSH_TAIL = f"""
+    , bands AS (
+{_BAND_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           ({_EQ_SUM}) * 1.0e0 / {_N_PERM} AS est_sim
+    FROM cand
+    JOIN sigs a ON a.doc_id = cand.id_a
+    JOIN sigs b ON b.doc_id = cand.id_b
+"""
+_sql_query(
+    "dedup_minhash_lsh",
+    _MINHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))") + _LSH_TAIL,
+    oracle=_MINHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
+    + _LSH_TAIL,
+)
+
+# ---------------------------------------------------------------------------
+# SimHash (12-bit) + hamming near-dup pairs
+# ---------------------------------------------------------------------------
+_N_BITS = 12
+_BIT_TERMS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN cast(floor(code / {1 << b}.0e0) as bigint) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_N_BITS)
+)
+_SIMHASH_BODY = f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, {{UNNEST}} AS w FROM documents
+      ) t WHERE w != ''
+    ),
+    codes AS (SELECT doc_id, {_WCODE} AS code FROM words),
+    sigs AS (
+      SELECT doc_id, {_BIT_TERMS} AS simhash
+      FROM codes GROUP BY doc_id
+    )
+"""
+_HAMMING_SPARK = "bit_count(a.simhash ^ b.simhash)"
+_HAMMING_DUCK = "bit_count(xor(a.simhash, b.simhash))"
+_SIMHASH_TAIL = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b,
+           {HAM} AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND {HAM} <= 2
+"""
+_sql_query(
+    "dedup_simhash",
+    _SIMHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))")
+    + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_SPARK),
+    oracle=_SIMHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
+    + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_DUCK),
+)
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k similarity search over embeddings
+# (baseline ANN path; the engine's bucketed variant lives in
+#  operators/similarity.py and is pytest-checked against this)
+# ---------------------------------------------------------------------------
+_COS_K = 5
+
+
+def _cosine_topk_sql(engine: str) -> str:
+    if engine == "spark":
+        pos = (
+            "SELECT vec_id, posexplode(embedding) AS (pos, x) FROM embeddings"
+        )
+    else:
+        pos = (
+            "SELECT vec_id, i - 1 AS pos, embedding[i] AS x "
+            "FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t"
+        )
+    return f"""
+    WITH pos AS ({pos}),
+    posd AS (SELECT vec_id, pos, cast(x as double) AS x FROM pos),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM posd GROUP BY vec_id),
+    q AS (SELECT * FROM posd WHERE vec_id % 50 = 0),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+      FROM q JOIN posd c ON q.pos = c.pos AND q.vec_id != c.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    cos AS (
+      SELECT qid, cid,
+             {round6('dot / (nq.nrm * nc.nrm)')} AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = qid
+      JOIN norms nc ON nc.vec_id = cid
+    )
+    SELECT qid, cid, cosine, sim_rank FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS sim_rank
+      FROM cos
+    ) t WHERE sim_rank <= {_COS_K}
+    """
+
+
+_sql_query(
+    "sim_cosine_topk", _cosine_topk_sql("spark"), oracle=_cosine_topk_sql("duck")
+)
+
+# ---------------------------------------------------------------------------
+# Embedding stats per label (norm distribution — exercises array ops + agg)
+# ---------------------------------------------------------------------------
+
+
+def _emb_stats_sql(engine: str) -> str:
+    if engine == "spark":
+        pos = "SELECT vec_id, label, posexplode(embedding) AS (pos, x) FROM embeddings"
+    else:
+        pos = (
+            "SELECT vec_id, label, i - 1 AS pos, embedding[i] AS x "
+            "FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t"
+        )
+    return f"""
+    WITH pos AS ({pos}),
+    norms AS (
+      SELECT vec_id, label, sqrt(sum(cast(x as double) * cast(x as double))) AS nrm
+      FROM pos GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n_vecs,
+           {round6('min(nrm)')} AS min_norm,
+           {round6('max(nrm)')} AS max_norm,
+           {round6('sum(nrm) / count(*)')} AS mean_norm
+    FROM norms GROUP BY label
+    """
+
+
+_sql_query("emb_label_stats", _emb_stats_sql("spark"), oracle=_emb_stats_sql("duck"))
