@@ -66,15 +66,12 @@ def bilinear_interp(
     v = np.asarray(grid_val, np.float64)
     qx = np.asarray(q_lon, np.float64).ravel()
     qy = np.asarray(q_lat, np.float64).ravel()
-    i = np.searchsorted(glon, qx, side="right") - 1
-    j = np.searchsorted(glat, qy, side="right") - 1
     out = np.full(qx.shape, np.nan)
-    ok = (i >= 0) & (i < len(glon) - 1) & (j >= 0) & (j < len(glat) - 1)
-    # points exactly on the max edge are valid too
-    on_xmax = (qx == glon[-1]) & (j >= 0) & (j < len(glat) - 1)
-    i = np.clip(i, 0, len(glon) - 2)
-    j = np.clip(j, 0, len(glat) - 2)
-    ok = ok | on_xmax
+    # in-domain (boundary inclusive, like xarray .interp); indices clamped so
+    # points exactly on the max edges use the last cell with t == 1
+    ok = (qx >= glon[0]) & (qx <= glon[-1]) & (qy >= glat[0]) & (qy <= glat[-1])
+    i = np.clip(np.searchsorted(glon, qx, side="right") - 1, 0, len(glon) - 2)
+    j = np.clip(np.searchsorted(glat, qy, side="right") - 1, 0, len(glat) - 2)
     tx = (qx - glon[i]) / (glon[i + 1] - glon[i])
     ty = (qy - glat[j]) / (glat[j + 1] - glat[j])
     val = (
@@ -169,7 +166,7 @@ def rotated_pole_unrotate(
     """
     rlon = np.radians(np.asarray(rlon_deg, np.float64))
     rlat = np.radians(np.asarray(rlat_deg, np.float64))
-    theta = np.radians(90.0 + pole_lat)  # rotation about y axis
+    theta = np.radians(90.0 - pole_lat)  # rotation about y axis
     phi = np.radians(pole_lon)
     x = np.cos(rlon) * np.cos(rlat)
     y = np.sin(rlon) * np.cos(rlat)
@@ -190,7 +187,7 @@ def rotated_pole_rotate(
     """Geographic → rotated-pole (inverse of unrotate; utilities.py:208-252)."""
     lon = np.radians(np.asarray(lon_deg, np.float64))
     lat = np.radians(np.asarray(lat_deg, np.float64))
-    theta = np.radians(90.0 + pole_lat)
+    theta = np.radians(90.0 - pole_lat)
     phi = np.radians(pole_lon)
     x = np.cos(lon) * np.cos(lat)
     y = np.sin(lon) * np.cos(lat)
