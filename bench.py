@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also the scaling harness: `python bench.py --scaling` runs the flagship
+tile-assignment job on the synthetic pages table at local[8] and local[32]
+and reports pages/sec at both plus efficiency (north_rule two-cluster-size
+protocol; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "geo_tile_assign",
+    "geo_knn_stations",
+    "geo_pip_assign",
+    "geo_cell_rollup",
+    "fld_daily_mean",
+    "fld_compose_latest",
+    "fld_asof_click",
+    "rel_pricing_summary",
+    "rel_top_customers",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "txt_quality",
+]
+
+
+def run_queries() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyofs_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session(master=f"local[{cpus}]", app_name="pyofs-bench")
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+def _force_full_compute(out):
+    """Action that materializes every pipeline column (count() would let
+    Catalyst prune the kNN arrays and PIP columns)."""
+    from pyspark.sql import functions as F
+
+    row = out.select(
+        F.count("*").alias("n"),
+        F.sum("cell_id").alias("s_cell"),
+        F.count("polygon_id").alias("n_poly"),
+        F.sum(F.element_at("knn_dist2", 1)).alias("s_d2"),
+        F.count(F.element_at("knn_stations", 3)).alias("n_k3"),
+    ).collect()[0]
+    return row["n"]
+
+
+def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
+    """One cluster-size measurement in its own process, with the WHOLE
+    process (JVM GC/JIT threads included) pinned to `cores` CPUs — otherwise
+    local[8]'s GC threads spill onto all 32 cores and inflate the small-
+    cluster throughput (a real 8-core cluster has no extra cores)."""
+    os.sched_setaffinity(0, set(range(cores)))
+    from pyofs_spark.session import get_session
+    from pyofs_spark.plans.pipeline import tile_assignment
+    from pyofs_spark.synth import synth_pages
+
+    n_parts = 128  # same physical split at both core counts
+    spark = get_session(
+        master=f"local[{cores}]",
+        app_name=f"pyofs-scaling-{cores}",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"
+        },
+    )
+    _force_full_compute(
+        tile_assignment(spark, synth_pages(spark, 10_000, n_parts), k=3)
+    )
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        out = tile_assignment(spark, synth_pages(spark, n_pages, n_parts), k=3)
+        n = _force_full_compute(out)
+        times.append(time.time() - t0)
+    spark.stop()
+    times.sort()
+    med = times[len(times) // 2]
+    print(
+        json.dumps(
+            {
+                "median_sec": round(med, 2),
+                "pages_per_sec": round(n_pages / med, 1),
+                "all_runs_sec": [round(t, 2) for t in times],
+                "rows": n,
+            }
+        )
+    )
+
+
+def run_scaling(n_pages: int = 20_000_000, runs: int = 3) -> None:
+    """Flagship pipeline at 8 vs 32 pinned cores on identical input
+    (two-cluster-size protocol, BASELINE.md): input, code, and partition
+    split identical; only the core budget differs."""
+    import subprocess
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(cores), str(n_pages), str(runs)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(f"# local[{cores}] pinned: {results[cores]}", file=sys.stderr)
+    eff = results[32]["pages_per_sec"] / (4 * results[8]["pages_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "tile_assignment_scaling",
+                "value": round(eff, 3),
+                "unit": "efficiency_8_to_32_cores",
+                "n_pages": n_pages,
+                "local8": results[8],
+                "local32": results[32],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_queries()

@@ -44,6 +44,7 @@ def _with_cell_xy(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat") -
     )
 
 
+INLINE_POINTS_THRESHOLD = 512  # below this, fold points into the plan (no shuffle)
 BRUTE_POINTS_THRESHOLD = 20_000  # below this, broadcast brute-force wins
 
 
@@ -88,7 +89,42 @@ def knn_join(
         p = F.broadcast(p)
 
     if strategy == "auto":
-        strategy = "brute" if points.count() <= BRUTE_POINTS_THRESHOLD else "rings"
+        n_points = points.count()
+        if n_points <= INLINE_POINTS_THRESHOLD:
+            strategy = "inline"
+        elif n_points <= BRUTE_POINTS_THRESHOLD:
+            strategy = "brute"
+        else:
+            strategy = "rings"
+    if strategy == "inline":
+        # SHUFFLE-FREE path for dimension-sized points (stations): the point
+        # list is folded into the plan as a literal struct array; per query
+        # row we sort (dist2, point_id) structs and slice the top k. Pure
+        # map → embarrassingly parallel, the optimal plan at any scale when
+        # the dim side is tiny. Struct ordering = lexicographic by field
+        # (dist2 then point_id) — the same deterministic tie-break.
+        rows = points.select(point_key, "lon", "lat").collect()
+        qlon, qlat = F.col("_qlon"), F.col("_qlat")
+        structs = [
+            F.struct(
+                (
+                    (qlon - F.lit(float(px))) * (qlon - F.lit(float(px)))
+                    + (qlat - F.lit(float(py))) * (qlat - F.lit(float(py)))
+                ).alias("dist2"),
+                F.lit(r[point_key]).alias(point_key),
+            )
+            for r in rows
+            for px, py in [(r["lon"], r["lat"])]
+        ]
+        topk = F.slice(F.array_sort(F.array(*structs)), 1, k)
+        return q.select(
+            query_key, F.posexplode(topk).alias("_r", "_s")
+        ).select(
+            query_key,
+            F.col(f"_s.{point_key}").alias(point_key),
+            F.col("_s.dist2").alias("dist2"),
+            (F.col("_r") + 1).alias("knn_rank"),
+        )
     if strategy == "brute":
         win = Window.partitionBy(query_key).orderBy("dist2", point_key)
         return (
@@ -172,6 +208,37 @@ def knn_join(
     for part in settled_parts[1:]:
         out = out.unionByName(part)
     return out.select(query_key, point_key, "dist2", "knn_rank")
+
+
+def knn_inline_arrays(
+    df: DataFrame,
+    points_rows: list[tuple[str, float, float]],
+    k: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    out_prefix: str = "knn",
+) -> DataFrame:
+    """Map-only kNN against a literal point list: appends
+    `{prefix}_stations: array<string>` and `{prefix}_dist2: array<double>`
+    ordered by (dist2, point_id). Zero shuffle — the scale-optimal plan for
+    the flagship pipeline's station lookup."""
+    qlon, qlat = F.col(lon), F.col(lat)
+    structs = [
+        F.struct(
+            (
+                (qlon - F.lit(float(px))) * (qlon - F.lit(float(px)))
+                + (qlat - F.lit(float(py))) * (qlat - F.lit(float(py)))
+            ).alias("dist2"),
+            F.lit(pid).alias("point_id"),
+        )
+        for pid, px, py in points_rows
+    ]
+    topk = F.slice(F.array_sort(F.array(*structs)), 1, k)
+    return df.withColumn("_topk", topk).withColumn(
+        f"{out_prefix}_stations", F.transform("_topk", lambda s: s["point_id"])
+    ).withColumn(
+        f"{out_prefix}_dist2", F.transform("_topk", lambda s: s["dist2"])
+    ).drop("_topk")
 
 
 def nn_value_join(

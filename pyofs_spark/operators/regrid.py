@@ -1,0 +1,191 @@
+"""Raster↔vector regrid operators — the reference's grid-interpolation
+kernels re-expressed as Spark joins.
+
+- `regrid_nearest_join` — scattered→lattice 1-NN transfer, the Spark twin of
+  wcofs.interpolate_grid(..., 'nearest') (ref: PyOFS/model/wcofs.py:1791-1827),
+  built on operators/knn.nn_value_join (expanding cell rings, exact
+  (d², src_id) tie-break).
+- `regrid_bilinear_regular` — bilinear interpolation of a REGULAR grid at
+  query points (ref: xarray .interp, particle_contour.py:249-298): a
+  closed-form equi-join of each query point to its enclosing cell's four
+  corners (floor((x-x0)/dx)), entirely JVM-side.
+- `asof_time_align` — nearest/backward time alignment of a field stack to
+  query times (ref: rtofs.py:263-264 .sel(time, method='nearest');
+  particle_contour.py:275-281 bfill/ffill) via the union-marker window
+  pattern (one shuffle, no range explosion).
+- `lattice` — build a regular output lattice DataFrame from bounds+step
+  (ref: the 0.04° output lattice wcofs.py:567-581) with spark.range (fully
+  distributed, no driver materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .knn import nn_value_join
+
+
+def lattice(
+    spark: SparkSession,
+    lon0: float,
+    lat0: float,
+    step: float,
+    n_lon: int,
+    n_lat: int,
+    partitions: int = 32,
+) -> DataFrame:
+    """Regular output lattice as (query_id, gi, gj, lon, lat)."""
+    return (
+        spark.range(0, n_lon * n_lat, 1, partitions)
+        .withColumnRenamed("id", "query_id")
+        .withColumn("gi", (F.col("query_id") % n_lon).cast("long"))
+        .withColumn("gj", F.floor(F.col("query_id") / n_lon).cast("long"))
+        .withColumn("lon", F.lit(float(lon0)) + F.col("gi") * F.lit(float(step)))
+        .withColumn("lat", F.lit(float(lat0)) + F.col("gj") * F.lit(float(step)))
+    )
+
+
+def regrid_nearest_join(
+    sources: DataFrame,
+    targets: DataFrame,
+    value_col: str = "value",
+    res: int = 8,
+    source_key: str = "point_id",
+    target_key: str = "query_id",
+    max_ring: int = 4,
+) -> DataFrame:
+    """1-NN value transfer from scattered sources to target points.
+    NaN/NULL sources are dropped first (interpolate_grid drops NaN cells,
+    wcofs.py:1800-1807). Exactly matches kernels.regrid_nearest."""
+    return nn_value_join(
+        targets,
+        sources,
+        value_col,
+        res=res,
+        query_key=target_key,
+        point_key=source_key,
+        max_ring=max_ring,
+    )
+
+
+def regrid_bilinear_regular(
+    points: DataFrame,
+    grid: DataFrame,
+    lon0: float,
+    lat0: float,
+    step: float,
+    n_lon: int,
+    n_lat: int,
+    grid_val: str = "value",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Bilinear interpolation of a regular grid at arbitrary points.
+
+    grid: (gi, gj, value) on the lattice (lon0 + gi*step, lat0 + gj*step).
+    Four equi-joins (one per corner) — broadcast when the grid is small,
+    sort-merge on (gi, gj) otherwise; Catalyst picks. Out-of-domain → NULL
+    (matches kernels.bilinear_interp boundary-inclusive clamping)."""
+    fx = (F.col(lon) - F.lit(float(lon0))) / F.lit(float(step))
+    fy = (F.col(lat) - F.lit(float(lat0))) / F.lit(float(step))
+    p = (
+        points.withColumn("_i0", F.least(F.lit(n_lon - 2), F.greatest(F.lit(0), F.floor(fx))).cast("long"))
+        .withColumn("_j0", F.least(F.lit(n_lat - 2), F.greatest(F.lit(0), F.floor(fy))).cast("long"))
+        .withColumn("_tx", fx - F.col("_i0"))
+        .withColumn("_ty", fy - F.col("_j0"))
+        .withColumn(
+            "_ok",
+            (fx >= 0) & (fx <= F.lit(float(n_lon - 1))) & (fy >= 0) & (fy <= F.lit(float(n_lat - 1))),
+        )
+    )
+    g = grid.select("gi", "gj", F.col(grid_val).alias("_gv"))
+    for corner, (di, dj) in {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}.items():
+        gc = g.select(
+            (F.col("gi") - di).alias("_i0"),
+            (F.col("gj") - dj).alias("_j0"),
+            F.col("_gv").alias(f"_v{corner}"),
+        )
+        p = p.join(gc, ["_i0", "_j0"], "left")
+    interp = (
+        F.col("_v00") * (1 - F.col("_tx")) * (1 - F.col("_ty"))
+        + F.col("_v10") * F.col("_tx") * (1 - F.col("_ty"))
+        + F.col("_v01") * (1 - F.col("_tx")) * F.col("_ty")
+        + F.col("_v11") * F.col("_tx") * F.col("_ty")
+    )
+    return p.withColumn(
+        "v_interp", F.when(F.col("_ok"), interp)
+    ).drop("_i0", "_j0", "_tx", "_ty", "_ok", "_v00", "_v10", "_v01", "_v11")
+
+
+def asof_time_align(
+    queries: DataFrame,
+    field: DataFrame,
+    key_cols: list[str],
+    q_time: str = "q_ts",
+    f_time: str = "ts",
+    value_col: str = "value",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each query row, the field value at the latest
+    f_time <= q_time (backward) or earliest >= (forward), per key.
+
+    Union-marker pattern: one shuffle on (keys, time), no range-join blowup.
+    """
+    qt = queries.select(
+        *key_cols, F.col(q_time).alias("_t"), F.lit(1).alias("_isq"),
+        F.lit(None).cast(field.schema[value_col].dataType).alias("_v"),
+        F.monotonically_increasing_id().alias("_qid"),
+    )
+    ft = field.select(
+        *key_cols, F.col(f_time).alias("_t"), F.lit(0).alias("_isq"),
+        F.col(value_col).alias("_v"), F.lit(None).cast("long").alias("_qid"),
+    )
+    u = qt.unionByName(ft)
+    if direction == "backward":
+        # field rows sort before query rows at equal time (inclusive asof)
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("_t").asc(), F.col("_isq").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("_t").desc(), F.col("_isq").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    out = u.withColumn("_asof", F.last("_v", ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("_isq") == 1)
+        .select(*key_cols, F.col("_t").alias(q_time), F.col("_asof").alias(f"asof_{value_col}"))
+    )
+
+
+def overview_rollup(
+    tiles: DataFrame,
+    levels: int,
+    i_col: str = "i",
+    j_col: str = "j",
+    sum_col: str = "val_sum",
+    cnt_col: str = "val_cnt",
+) -> DataFrame:
+    """Overview pyramid as iterative 2x rollups carrying (sum, count) so
+    every level's mean is exact and order-independent
+    (ref: PyOFS/__init__.py:202-209 overview levels + average resampling).
+    Input: level-0 tiles with partial sums. Output: all levels unioned."""
+    out = None
+    cur = tiles.select(
+        F.lit(0).alias("level"), F.col(i_col).alias("i"), F.col(j_col).alias("j"),
+        F.col(sum_col).alias("s"), F.col(cnt_col).alias("c"),
+    )
+    for lv in range(1, levels + 1):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("i") / 2).alias("i"), F.floor(F.col("j") / 2).alias("j")
+            )
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .select(F.lit(lv).alias("level"), "i", "j", "s", "c")
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out.withColumn("mean_val", F.col("s") / F.col("c"))

@@ -69,22 +69,7 @@ def tile_assignment(
     )
     if not with_knn:
         return base
-    nn = knn_op.knn_join(
-        base.select(key_col, "lon", "lat"),
-        station_df(spark),
-        k=k,
-        res=knn_res,
-        query_key=key_col,
-        point_key="station_id",
-        max_ring=6,
-    )
-    agg = nn.groupBy(key_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("knn_rank", "station_id", "dist2"))
-        ).alias("_s")
-    ).select(
-        key_col,
-        F.transform("_s", lambda s: s["station_id"]).alias("knn_stations"),
-        F.transform("_s", lambda s: s["dist2"]).alias("knn_dist2"),
-    )
-    return base.join(agg, key_col, "left")
+    # station list is dimension-sized by contract → fold it into the plan:
+    # the whole pipeline (geocode → cells → PIP → kNN) is then ONE map-only
+    # stage — zero shuffles, linear scaling with cores/executors.
+    return knn_op.knn_inline_arrays(base, stations.STATIONS, k)

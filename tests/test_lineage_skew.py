@@ -1,0 +1,142 @@
+"""Resume/lineage tests (SURVEY §5 item 5: kill-and-resume equals single
+run), skew salting equivalence, streaming daily micro-batch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyofs_spark.lineage import LineageLog, read_output, run_partitioned
+from pyofs_spark.operators.skew import (
+    cell_histogram,
+    explode_salts_for_join,
+    hot_cells,
+    salt_hot_cells,
+    salted_cell_counts,
+)
+from pyofs_spark.plans.pipeline import assign_cells, geocode_pages
+from pyofs_spark.synth import synth_pages
+
+
+def _build(spark, key: str):
+    n = int(key.split("_")[1])
+    return geocode_pages(synth_pages(spark, 200, 4)).filter(
+        F.pmod("page_id", F.lit(4)) == n
+    ).select("page_id", "url", "lon", "lat")
+
+
+def test_resume_equals_single_run(spark):
+    keys = [f"bucket_{i}" for i in range(4)]
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        # full run
+        r1 = run_partitioned(spark, d1, keys, _build)
+        assert r1["ran"] == keys and r1["skipped"] == []
+        full = {tuple(r) for r in read_output(spark, d1).select("page_id", "lon").collect()}
+
+        # interrupted run: only first 2 partitions complete, then "crash"
+        r2a = run_partitioned(spark, d2, keys[:2], _build)
+        assert r2a["ran"] == keys[:2]
+        # simulate orphan data without lineage (crash mid-partition 3)
+        _build(spark, keys[2]).write.mode("overwrite").parquet(
+            os.path.join(d2, f"part_key={keys[2]}")
+        )
+        # resume with the full key list
+        r2b = run_partitioned(spark, d2, keys, _build)
+        assert r2b["skipped"] == keys[:2]
+        assert r2b["ran"] == keys[2:]  # orphan partition re-ran (no lineage row)
+        resumed = {tuple(r) for r in read_output(spark, d2).select("page_id", "lon").collect()}
+        assert resumed == full
+
+        # idempotent re-run does nothing
+        r3 = run_partitioned(spark, d2, keys, _build)
+        assert r3["ran"] == [] and r3["skipped"] == keys
+        # metrics present per partition
+        log = LineageLog(d2)
+        assert set(log.completed()) == set(keys)
+        assert all(v["n_rows"] == 50 for v in log.completed().values())
+    finally:
+        shutil.rmtree(d1), shutil.rmtree(d2)
+
+
+def test_fingerprint_invalidation(spark):
+    keys = ["bucket_0"]
+    d = tempfile.mkdtemp()
+    try:
+        run_partitioned(spark, d, keys, _build, fingerprint=lambda k: "v1")
+        r = run_partitioned(spark, d, keys, _build, fingerprint=lambda k: "v2")
+        assert r["ran"] == keys  # changed input fingerprint → recompute
+    finally:
+        shutil.rmtree(d)
+
+
+def test_skew_histogram_and_salting(spark):
+    pages = assign_cells(geocode_pages(synth_pages(spark, 5000, 8)), res=6)
+    hist = cell_histogram(pages).collect()
+    direct = {r.cell_id: r.cell_count for r in hist}
+    # coast bias must create hot cells (≈40% mass in ≈6 clusters)
+    hot = hot_cells(pages).collect()
+    assert 1 <= len(hot) <= 50
+    hot_mass = sum(r.cell_count for r in hot)
+    assert hot_mass > 0.25 * 5000
+
+    # salted two-phase counts equal direct counts exactly
+    salted = {r.cell_id: r.cell_count for r in salted_cell_counts(pages, "page_id").collect()}
+    assert salted == direct
+
+    # salt distribution: hot cells spread across >1 salt, cold cells salt=0
+    hotdf = hot_cells(pages)
+    sal = salt_hot_cells(pages, hotdf, "page_id")
+    hot_ids = {r.cell_id for r in hot}
+    per_salt = sal.filter(F.col("cell_id").isin(hot_ids)).groupBy("salt").count().collect()
+    assert len(per_salt) > 4
+    cold = sal.filter(~F.col("cell_id").isin(hot_ids)).select("salt").distinct().collect()
+    assert [r.salt for r in cold] == [0]
+
+    # salted join equivalence: fact ⋈ dim on cell == salted fact ⋈ exploded dim
+    dim = pages.select("cell_id").distinct().withColumn(
+        "dim_tag", F.col("cell_id") % 97
+    )
+    plain = pages.join(dim, "cell_id").select("page_id", "dim_tag")
+    dim_salted = explode_salts_for_join(dim, hotdf)
+    salted_join = sal.join(dim_salted, ["cell_id", "salt"]).select("page_id", "dim_tag")
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted_join.collect()}
+    assert a == b
+
+
+def test_streaming_daily_counts(spark):
+    """Structured-Streaming daily micro-batch == the equivalent batch agg."""
+    import tempfile as tf
+
+    from pyofs_spark.streaming.daily import daily_tile_counts_stream
+
+    pages = synth_pages(spark, 2000, 4).select("page_id", "warc_ts")
+    src_dir = tf.mkdtemp()
+    try:
+        pages.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        out = daily_tile_counts_stream(stream, res=6)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("daily_counts")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.day_start, r.cell_id): r.n_pages
+            for r in spark.sql("SELECT * FROM daily_counts").collect()
+        }
+        batch = daily_tile_counts_stream(spark.read.parquet(src_dir), res=6)
+        expect = {(r.day_start, r.cell_id): r.n_pages for r in batch.collect()}
+        assert got == expect and len(got) > 100
+    finally:
+        shutil.rmtree(src_dir)

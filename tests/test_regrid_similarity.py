@@ -1,0 +1,137 @@
+"""Regrid operators vs golden kernels; similarity LSH recall vs brute
+force; multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyofs_spark.functions import kernels as K
+from pyofs_spark.operators.regrid import (
+    asof_time_align,
+    lattice,
+    overview_rollup,
+    regrid_bilinear_regular,
+)
+from pyofs_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+def test_lattice_shape(spark):
+    lat = lattice(spark, -130.0, 30.0, 0.5, 10, 6)
+    rows = lat.collect()
+    assert len(rows) == 60
+    r0 = {r.query_id: (r.lon, r.lat) for r in rows}
+    assert r0[0] == (-130.0, 30.0)
+    assert r0[9] == (-130.0 + 9 * 0.5, 30.0)
+    assert r0[10] == (-130.0, 30.5)
+
+
+def test_bilinear_join_matches_kernel(spark):
+    rng = np.random.default_rng(5)
+    n_lon, n_lat, step = 20, 15, 0.5
+    lon0, lat0 = -130.0, 30.0
+    gv = np.round(rng.uniform(0, 10, (n_lat, n_lon)), 3)
+    grid_rows = [
+        (int(i), int(j), float(gv[j, i])) for j in range(n_lat) for i in range(n_lon)
+    ]
+    grid = spark.createDataFrame(grid_rows, "gi long, gj long, value double")
+    qx = rng.uniform(-131, -119, 300)  # includes out-of-domain
+    qy = rng.uniform(29, 38, 300)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(300), "lon": qx, "lat": qy})
+    )
+    got = regrid_bilinear_regular(pts, grid, lon0, lat0, step, n_lon, n_lat)
+    got_map = {r.pid: r.v_interp for r in got.collect()}
+    glon = lon0 + np.arange(n_lon) * step
+    glat = lat0 + np.arange(n_lat) * step
+    expect = K.bilinear_interp(glon, glat, gv, qx, qy)
+    for i in range(300):
+        g = got_map[i]
+        if np.isnan(expect[i]):
+            assert g is None, i
+        else:
+            assert g is not None and abs(g - expect[i]) < 1e-12, i
+
+
+def test_asof_align(spark):
+    field = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 3.0, 30.0), ("b", 2.0, 20.0)],
+        "key string, ts double, value double",
+    )
+    q = spark.createDataFrame(
+        [("a", 0.5), ("a", 1.0), ("a", 2.9), ("a", 3.5), ("b", 1.9), ("b", 2.0)],
+        "key string, q_ts double",
+    )
+    got = {
+        (r.key, r.q_ts): r.asof_value
+        for r in asof_time_align(q, field, ["key"], f_time="ts").collect()
+    }
+    assert got == {
+        ("a", 0.5): None,
+        ("a", 1.0): 10.0,  # inclusive
+        ("a", 2.9): 10.0,
+        ("a", 3.5): 30.0,
+        ("b", 1.9): None,
+        ("b", 2.0): 20.0,
+    }
+
+
+def test_overview_rollup_matches_kernel(spark):
+    g = np.arange(16, dtype=float).reshape(4, 4)
+    rows = [
+        (int(i), int(j), float(g[j, i]), 1) for j in range(4) for i in range(4)
+    ]
+    tiles = spark.createDataFrame(rows, "i long, j long, val_sum double, val_cnt long")
+    out = overview_rollup(tiles, 2)
+    got = {(r.level, r.i, r.j): r.mean_val for r in out.collect()}
+    golden = K.overview_pyramid(g, 2)
+    for lv, arr in enumerate(golden, start=1):
+        for j in range(arr.shape[0]):
+            for i in range(arr.shape[1]):
+                assert abs(got[(lv, i, j)] - arr[j, i]) < 1e-12
+
+
+def _pdvecs(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_lsh_recall_vs_brute(spark):
+    vecs = _pdvecs(spark)
+    queries = vecs.filter(F.col("vec_id") % 20 == 0)
+    brute = cosine_topk_bruteforce(vecs, queries, k=5)
+    approx = cosine_topk_lsh(vecs, queries, k=5, dim=64, n_tables=16, n_planes=4)
+    b = {(r.qid, r.cid) for r in brute.collect()}
+    a = {(r.qid, r.cid) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, recall  # 16 tables x 4 planes on the labeled clusters
+
+
+def test_multimodal_features(spark):
+    from pyofs_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 200, 4)
+    feats = extract_features(media).collect()
+    assert len(feats) == 200
+    for r in feats[:10]:
+        assert len(r.feature) == FEATURE_DIM
+        assert r.payload_bytes > 0
+    # determinism: same id → same feature
+    one = [r for r in feats if r.media_id == 7][0]
+    m7 = media.filter("media_id = 7").collect()[0]
+    np.testing.assert_allclose(
+        np.array(one.feature), decode_media(bytes(m7.payload), m7.kind), rtol=0
+    )
+    frames = frame_sample_plan(media, every_ms=10_000)
+    n_videos = media.filter("kind = 'video'").count()
+    assert frames.count() >= n_videos  # ≥1 frame per video
+    assert frames.select("media_id").distinct().count() == n_videos
