@@ -223,19 +223,26 @@ def knn_inline_arrays(
     ordered by (dist2, point_id). Zero shuffle — the scale-optimal plan for
     the flagship pipeline's station lookup."""
     qlon, qlat = F.col(lon), F.col(lat)
+    # sort (dist2, idx:int) structs — no string copying inside the sort;
+    # names materialize only for the k winners via a literal-array lookup.
+    # Point ids must be sorted so idx order == id order on distance ties
+    # (keeps the (dist2, point_id) tie-break contract).
+    rows_sorted = sorted(points_rows, key=lambda r: r[0])
+    names = F.array(*[F.lit(pid) for pid, _, _ in rows_sorted])
     structs = [
         F.struct(
             (
                 (qlon - F.lit(float(px))) * (qlon - F.lit(float(px)))
                 + (qlat - F.lit(float(py))) * (qlat - F.lit(float(py)))
             ).alias("dist2"),
-            F.lit(pid).alias("point_id"),
+            F.lit(i).alias("idx"),
         )
-        for pid, px, py in points_rows
+        for i, (pid, px, py) in enumerate(rows_sorted)
     ]
     topk = F.slice(F.array_sort(F.array(*structs)), 1, k)
     return df.withColumn("_topk", topk).withColumn(
-        f"{out_prefix}_stations", F.transform("_topk", lambda s: s["point_id"])
+        f"{out_prefix}_stations",
+        F.transform("_topk", lambda s: F.element_at(names, s["idx"] + 1)),
     ).withColumn(
         f"{out_prefix}_dist2", F.transform("_topk", lambda s: s["dist2"])
     ).drop("_topk")
