@@ -116,7 +116,7 @@ def knn_join(
             for r in rows
             for px, py in [(r["lon"], r["lat"])]
         ]
-        topk = F.slice(F.array_sort(F.array(*structs)), 1, k)
+        topk = F.slice(F.sort_array(F.array(*structs)), 1, k)
         return q.select(
             query_key, F.posexplode(topk).alias("_r", "_s")
         ).select(
@@ -239,13 +239,22 @@ def knn_inline_arrays(
         )
         for i, (pid, px, py) in enumerate(rows_sorted)
     ]
-    topk = F.slice(F.array_sort(F.array(*structs)), 1, k)
-    return df.withColumn("_topk", topk).withColumn(
-        f"{out_prefix}_stations",
-        F.transform("_topk", lambda s: F.element_at(names, s["idx"] + 1)),
-    ).withColumn(
-        f"{out_prefix}_dist2", F.transform("_topk", lambda s: s["dist2"])
-    ).drop("_topk")
+    # sort_array (natural struct order = (dist2, idx)) + GetArrayStructFields
+    # keep the whole expression inside whole-stage codegen; array_sort/
+    # transform lambdas are CodegenFallback and would interpret per row
+    # (verified via explain, PLANS.md).
+    topk = F.slice(F.sort_array(F.array(*structs)), 1, k)
+    out = df.withColumn("_topk", topk)
+    idx_arr = F.col("_topk.idx")
+    # idx→name via nested element_at on the literal names array per slot
+    station_cols = [
+        F.element_at(names, F.element_at(idx_arr, s + 1) + 1) for s in range(k)
+    ]
+    return (
+        out.withColumn(f"{out_prefix}_stations", F.array(*station_cols))
+        .withColumn(f"{out_prefix}_dist2", F.col("_topk.dist2"))
+        .drop("_topk")
+    )
 
 
 def nn_value_join(

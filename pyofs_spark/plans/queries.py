@@ -251,12 +251,24 @@ def geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_queries() -> dict[str, SparkQuery]:
     # import side-effect modules that register more queries
-    from . import queries_field, queries_geo2, queries_rel, queries_text  # noqa: F401
+    from . import (  # noqa: F401
+        queries_engine,
+        queries_field,
+        queries_geo2,
+        queries_rel,
+        queries_text,
+    )
 
     return dict(REGISTRY)
 
 
 def get_oracles() -> dict[str, str]:
-    from . import queries_field, queries_geo2, queries_rel, queries_text  # noqa: F401
+    from . import (  # noqa: F401
+        queries_engine,
+        queries_field,
+        queries_geo2,
+        queries_rel,
+        queries_text,
+    )
 
     return dict(ORACLES)

@@ -45,9 +45,11 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int = 32) -> DataF
     return df.select(
         F.concat(F.lit("https://example.org/page/"), F.col("page_id")).alias("url"),
         # crawl timestamps spread over 30 days of 2026-01, second granularity
-        (
-            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
-            + F.make_interval(secs=F.pmod(F.col("page_id") * 7919, F.lit(30 * 86400)).cast("double"))
+        # (integer epoch arithmetic — make_interval routes through DECIMAL
+        # math, ~10x slower per row; timestamp_seconds is a long cast)
+        F.timestamp_seconds(
+            F.lit(1767225600)  # 2026-01-01 00:00:00 UTC
+            + F.pmod(F.col("page_id") * 7919, F.lit(30 * 86400))
         ).alias("warc_ts"),
         F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "utf-8").alias("html"),
         text.alias("text"),
