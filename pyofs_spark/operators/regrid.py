@@ -20,6 +20,8 @@ kernels re-expressed as Spark joins.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -116,6 +118,99 @@ def regrid_bilinear_regular(
     return p.withColumn(
         "v_interp", F.when(F.col("_ok"), interp)
     ).drop("_i0", "_j0", "_tx", "_ty", "_ok", "_v00", "_v10", "_v01", "_v11")
+
+
+def regrid_linear_join(
+    spark: SparkSession,
+    sources: DataFrame,
+    targets: DataFrame,
+    value_col: str = "value",
+    tile_res: int = 4,
+    halo_deg: float | None = None,
+    source_key: str = "point_id",
+    target_key: str = "query_id",
+) -> DataFrame:
+    """Scattered-data LINEAR regrid (SURVEY J2): per-tile Delaunay +
+    barycentric interpolation via applyInPandas.
+
+    Sharding: targets are bucketed into quad cells at `tile_res`; sources
+    are replicated into every tile whose bbox (+halo) they fall in, so each
+    tile triangulates locally. With halo >= the local source spacing the
+    tile-local triangulation matches the global one away from data voids
+    (documented approximation; exact on affine fields regardless — the
+    golden property test). Returns (target_key, value_col)."""
+    from ..functions import cells as C
+    from ..functions.delaunay import linear_interp_scattered
+
+    size = C.cell_size_deg(tile_res)
+    if halo_deg is None:
+        halo_deg = size / 2
+    n_halo = max(1, int(np.ceil(halo_deg / size)))
+
+    tgt = targets.withColumn("_tile", F.expr(C.cell_id_sql("lon", "lat", tile_res)))
+    # replicate sources into neighbor tiles within the halo ring
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in C.disk_offsets(n_halo)
+        ]
+    )
+    nx = C.nx(tile_res)
+    src = (
+        sources.filter(F.col(value_col).isNotNull())
+        .withColumn("_cx", F.expr(C.cell_x_sql("lon", tile_res)))
+        .withColumn("_cy", F.expr(C.cell_y_sql("lat", tile_res)))
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            source_key,
+            "lon",
+            "lat",
+            F.col(value_col).alias("_v"),
+            (
+                F.least(
+                    F.lit(C.ny(tile_res) - 1),
+                    F.greatest(F.lit(0), F.col("_cy") + F.col("_o.dy")),
+                )
+                * nx
+                + F.pmod(F.col("_cx") + F.col("_o.dx") + nx, F.lit(nx))
+            ).alias("_tile"),
+        )
+    )
+    both = tgt.select(
+        "_tile",
+        F.lit(None).cast("double").alias("_v"),
+        F.col(target_key).cast("long").alias("_qid"),
+        "lon",
+        "lat",
+        F.lit(True).alias("_is_q"),
+    ).unionByName(
+        src.select(
+            "_tile",
+            "_v",
+            F.lit(None).cast("long").alias("_qid"),
+            "lon",
+            "lat",
+            F.lit(False).alias("_is_q"),
+        )
+    )
+
+    def _interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["_is_q"]]
+        ss = pdf[~pdf["_is_q"]]
+        if len(qs) == 0:
+            return pd.DataFrame({target_key: [], value_col: []})
+        vals = linear_interp_scattered(
+            ss["lon"].to_numpy(),
+            ss["lat"].to_numpy(),
+            ss["_v"].to_numpy(),
+            qs["lon"].to_numpy(),
+            qs["lat"].to_numpy(),
+        )
+        return pd.DataFrame({target_key: qs["_qid"].to_numpy(), value_col: vals})
+
+    return both.groupBy("_tile").applyInPandas(
+        _interp, f"{target_key} long, {value_col} double"
+    )
 
 
 def asof_time_align(

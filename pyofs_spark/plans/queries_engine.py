@@ -77,3 +77,19 @@ def eng_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id", F.expr(cells.cell_id_sql("lon", "lat", 6))
     )
     return salted_cell_counts(g, "doc_id")
+
+
+@register("eng_linear_regrid")
+def eng_linear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scattered-data linear regrid (Delaunay barycentric, SURVEY J2):
+    geocoded docs as sources, a coastal lattice as targets."""
+    from ..operators.regrid import lattice, regrid_linear_join
+    from .queries import geodocs
+
+    src = (
+        geodocs(spark, sf_dir)
+        .withColumn("value", (F.col("doc_id") % 100) / 10.0)
+        .select(F.col("doc_id").alias("point_id"), "lon", "lat", "value")
+    )
+    tgt = lattice(spark, -126.0, 32.0, 0.5, 20, 20, partitions=8)
+    return regrid_linear_join(spark, src, tgt, tile_res=4).orderBy("query_id")
