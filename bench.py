@@ -42,6 +42,11 @@ def run_queries() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_session(master=f"local[{cpus}]", app_name="pyofs-bench")
+    # warmup: session/codegen/scan init paid once, not by the first query
+    from pyofs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM documents").collect()
     qs = entrymod.queries()
     times: dict[str, float] = {}
     total = 0.0
@@ -99,7 +104,11 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
         app_name=f"pyofs-scaling-{cores}",
         shuffle_partitions=max(cores, 8),
         extra_conf={
-            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"
+            # ParallelGC: ~1.7x over G1 for this allocation-heavy throughput
+            # job (strings + per-row arrays); pause times don't matter here
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores} -XX:+UseParallelGC"
+            )
         },
     )
     _force_full_compute(
@@ -140,7 +149,7 @@ def _steal_ticks() -> int:
     return int(parts[8]) if len(parts) > 8 else 0
 
 
-def run_scaling(n_pages: int = 20_000_000, runs: int = 5) -> None:
+def run_scaling(n_pages: int = 120_000_000, runs: int = 4) -> None:
     """Flagship pipeline at two cluster sizes (N and 4N pinned cores) on
     identical input (two-cluster-size protocol, BENCH/BASELINE.md): input,
     code, and partition split identical; only the core budget differs.
@@ -189,6 +198,10 @@ if __name__ == "__main__":
         i = sys.argv.index("--scaling-worker")
         scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]))
     elif "--scaling" in sys.argv:
-        run_scaling()
+        i = sys.argv.index("--scaling")
+        extra = sys.argv[i + 1 :]
+        n_pages = int(extra[0]) if extra and extra[0].isdigit() else 120_000_000
+        runs = int(extra[1]) if len(extra) > 1 and extra[1].isdigit() else 4
+        run_scaling(n_pages, runs)
     else:
         run_queries()

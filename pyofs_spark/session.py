@@ -42,6 +42,12 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Fall back from whole-stage codegen when the generated method would
+        # exceed HotSpot's JIT compile limit (-XX:DontCompileHugeMethods,
+        # 8000 bytecode). Spark's default (65535) happily emits methods the
+        # JVM then refuses to JIT — our unrolled PIP+kNN pipeline ran 8x
+        # slower INTERPRETED inside one giant fused method (PLANS.md).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
