@@ -170,7 +170,7 @@ _MH_PRIME = 8191
 
 # word code: ascii of first two chars + length (identical across engines)
 _WCODE = (
-    "ascii(substring(w, 1, 1)) * 10000 + "
+    "cast(ascii(substring(w, 1, 1)) as bigint) * 10000 + "
     "CASE WHEN length(w) >= 2 THEN ascii(substring(w, 2, 1)) ELSE 0 END * 100 + "
     "length(w)"
 )
@@ -178,13 +178,30 @@ _MH_COLS = ",\n             ".join(
     f"min(({a} * code + {b}) % {_MH_PRIME}) AS mh{j}"
     for j, (a, b) in enumerate(_PERMS)
 )
+# shingles = word BIGRAMS (positional lead join): with the tiny synthetic
+# vocabulary, unigram minhash bands collide on almost every doc pair (the
+# LSH candidate set degenerates to all-pairs); bigrams restore realistic
+# shingle cardinality. Positions are engine-specific (posexplode is
+# 0-based, generate_subscripts 1-based — normalized to 1-based here).
+_POS_WORDS_SPARK = (
+    "SELECT doc_id, pos + 1 AS pos, w FROM "
+    "(SELECT doc_id, posexplode(split(text, ' ')) AS (pos, w) FROM documents)"
+)
+_POS_WORDS_DUCK = (
+    "SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos, "
+    "unnest(string_split(text, ' ')) AS w FROM documents"
+)
 _MINHASH_BODY = f"""
-    WITH words AS (
-      SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id, {{UNNEST}} AS w FROM documents
-      ) t WHERE w != ''
+    WITH pw AS ({{POSWORDS}}),
+    wcodes AS (
+      SELECT doc_id, pos, {_WCODE} AS wcode FROM pw WHERE w != ''
     ),
-    codes AS (SELECT doc_id, {_WCODE} AS code FROM words),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             wcode * 31627 + lead(wcode) OVER (PARTITION BY doc_id ORDER BY pos) AS code
+      FROM wcodes
+    ),
+    codes AS (SELECT doc_id, code FROM shingles WHERE code IS NOT NULL),
     sigs AS (
       SELECT doc_id,
              {_MH_COLS}
@@ -194,9 +211,8 @@ _MINHASH_BODY = f"""
 
 _sql_query(
     "dedup_minhash_sig",
-    _MINHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))")
-    + "    SELECT * FROM sigs",
-    oracle=_MINHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
+    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_SPARK) + "    SELECT * FROM sigs",
+    oracle=_MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK)
     + "    SELECT * FROM sigs",
 )
 
@@ -228,9 +244,8 @@ _LSH_TAIL = f"""
 """
 _sql_query(
     "dedup_minhash_lsh",
-    _MINHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))") + _LSH_TAIL,
-    oracle=_MINHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
-    + _LSH_TAIL,
+    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_SPARK) + _LSH_TAIL,
+    oracle=_MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK) + _LSH_TAIL,
 )
 
 # ---------------------------------------------------------------------------
