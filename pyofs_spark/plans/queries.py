@@ -195,32 +195,24 @@ def geo_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship tile assignment: (doc → cell, polygon, nearest station).
-    north_star golden artifact (golden_tile_assign, FIXTURES.md §8)."""
-    from ..operators.knn import knn_join
+    north_star golden artifact (golden_tile_assign, FIXTURES.md §8).
+    Zero-join plan: stations folded into the projection (PLANS.md) — the
+    same map-only shape the 10^12-row pipeline uses; tie-break identical
+    to the oracle's (dist2, station_id)."""
+    from ..functions.stations import STATIONS
+    from ..operators.knn import knn_inline_arrays
     from ..operators.pip import pip_fixed
-    from .pipeline import station_df
 
     g = pip_fixed(
         geodocs(spark, sf_dir).withColumn("cell_id", F.expr(_CELL))
     ).select("doc_id", "lon", "lat", "cell_id", "polygon_id")
-    nn = (
-        knn_join(
-            g.select("doc_id", "lon", "lat"),
-            station_df(spark),
-            k=1,
-            res=6,
-            query_key="doc_id",
-            point_key="station_id",
-            max_ring=6,
-        )
-        .select(
-            "doc_id",
-            F.col("station_id").alias("nn_station"),
-            F.col("dist2").alias("nn_dist2"),
-        )
-    )
-    return g.join(nn, "doc_id", "inner").select(
-        "doc_id", "cell_id", "polygon_id", "nn_station", "nn_dist2"
+    out = knn_inline_arrays(g, STATIONS, k=1, out_prefix="nn")
+    return out.select(
+        "doc_id",
+        "cell_id",
+        "polygon_id",
+        F.element_at("nn_stations", 1).alias("nn_station"),
+        F.element_at("nn_dist2", 1).alias("nn_dist2"),
     )
 
 
