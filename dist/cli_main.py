@@ -1,0 +1,3 @@
+from pyofs_spark.cli import main
+import sys
+sys.exit(main())
