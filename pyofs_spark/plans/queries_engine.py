@@ -93,3 +93,21 @@ def eng_linear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tgt = lattice(spark, -126.0, 32.0, 0.5, 20, 20, partitions=8)
     return regrid_linear_join(spark, src, tgt, tile_res=4).orderBy("query_id")
+
+
+@register("eng_pip_broadcast_udf")
+def eng_pip_broadcast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP Path B: broadcast polygon dim table + Arrow pandas-UDF ray cast
+    with cell-cover prefilter — ALL containments per point (vs the
+    priority-coalesced Path A). Pytest-gated equal to Path A restricted
+    to priority (tests/test_operators.py)."""
+    from ..functions import polygons as P
+    from ..operators.pip import pip_join_broadcast
+    from .queries import geodocs
+
+    polys = spark.createDataFrame(
+        P.polygons_long_rows(),
+        "polygon_id string, ring_idx int, vertex_idx int, lon double, lat double",
+    )
+    pts = geodocs(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join_broadcast(spark, pts, polys, res=4).select("doc_id", "polygon_id")

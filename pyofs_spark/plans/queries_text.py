@@ -361,3 +361,43 @@ def _emb_stats_sql(engine: str) -> str:
 
 
 _sql_query("emb_label_stats", _emb_stats_sql("spark"), oracle=_emb_stats_sql("duck"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup flavor over embeddings):
+# all pairs with rounded cosine >= threshold, deterministic pair order.
+# ---------------------------------------------------------------------------
+_NEARDUP_T = "0.35e0"  # top ~13 pairs in the clustered fixture
+
+
+def _cos_pairs_sql(engine: str) -> str:
+    if engine == "spark":
+        pos = "SELECT vec_id, posexplode(embedding) AS (pos, x) FROM embeddings WHERE vec_id % 5 = 0"
+    else:
+        pos = (
+            "SELECT vec_id, i - 1 AS pos, embedding[i] AS x "
+            "FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t "
+            "WHERE vec_id % 5 = 0"
+        )
+    return f"""
+    WITH pos AS ({pos}),
+    posd AS (SELECT vec_id, pos, cast(x as double) AS x FROM pos),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM posd GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      FROM posd a JOIN posd b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    cos AS (
+      SELECT id_a, id_b, {round6("dot / (na.nrm * nb.nrm)")} AS cosine
+      FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cosine FROM cos WHERE cosine >= {_NEARDUP_T}
+    """
+
+
+_sql_query(
+    "dedup_embedding_cosine",
+    _cos_pairs_sql("spark"),
+    oracle=_cos_pairs_sql("duck"),
+)
