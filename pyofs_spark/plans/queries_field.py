@@ -141,7 +141,7 @@ _sql_query(
     WITH field AS ({FIELD_SQL})
     SELECT event_type,
            count(*) AS n_pass,
-           sum({CENTS}) AS sum_cents
+           cast(sum({CENTS}) as bigint) AS sum_cents
     FROM field
     WHERE dopx <= 0.5e0 AND dopy <= 0.5e0 AND v IS NOT NULL
     GROUP BY event_type
@@ -191,9 +191,9 @@ _sql_query(
              sum(c) AS c, sum(n) AS n
       FROM l1 GROUP BY 1, 2
     )
-    SELECT 1 AS level, i, j, c / 100.0e0 / n AS mean_v, n FROM l1
+    SELECT 1 AS level, i, j, c / 100.0e0 / n AS mean_v, cast(n as bigint) AS n FROM l1
     UNION ALL
-    SELECT 2 AS level, i, j, c / 100.0e0 / n AS mean_v, n FROM l2
+    SELECT 2 AS level, i, j, c / 100.0e0 / n AS mean_v, cast(n as bigint) AS n FROM l2
     """,
 )
 

@@ -40,6 +40,29 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _kind(t: str) -> str:
+    """Type CLASS — int-width differences hash equal at the driver (r01
+    evidence: knn_rank int32 vs int64 passed), but DuckDB sum(BIGINT)→
+    HUGEINT→decimal128 burned round 1. Compare classes only."""
+    t = t.lower()
+    for k in ("decimal", "timestamp", "date", "bool", "string", "float", "double", "int"):
+        if k in t:
+            return {"double": "float"}.get(k, k)
+    return t
+
+
+def type_warnings(name, sdf, duck_arrow_schema):
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    warns = []
+    for f in duck_arrow_schema:
+        st = stypes.get(f.name)
+        if st is None:
+            continue
+        if _kind(st) != _kind(str(f.type)):
+            warns.append(f"{f.name}: spark={st} duck_arrow={f.type}")
+    return warns
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from pyofs_spark.session import get_session
@@ -75,9 +98,11 @@ def main() -> int:
             n_skip += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = list(tbl.schema.names)
+            drows = [tuple(r.values()) for r in tbl.to_pylist()]
+            for w in type_warnings(name, sdf, tbl.schema):
+                print(f"TYPEWARN {name}: {w}")
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
