@@ -1,7 +1,8 @@
-"""Engine-native operator queries WITHOUT SQL oracles (non-SQL-expressible:
-iterative advection, LSH ANN, distributed hull, streaming). The driver
-records rows-only checks for these; their exactness is pytest-gated instead
-(tests/test_advection.py, test_regrid_similarity.py, test_hull.py)."""
+"""Engine-native operator queries. Most are non-SQL-expressible (iterative
+advection, LSH ANN, distributed hull, streaming) — the driver records
+rows-only checks and their exactness is pytest-gated instead
+(tests/test_advection.py, test_regrid_similarity.py, test_hull.py).
+Exception: eng_linear_regrid carries a closed-form affine oracle (J2)."""
 
 from __future__ import annotations
 
@@ -79,20 +80,52 @@ def eng_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_cell_counts(g, "doc_id")
 
 
-@register("eng_linear_regrid")
+# --- J2 linear regrid, ORACLE-GATED (round 2) --------------------------------
+# Barycentric interpolation reproduces an AFFINE field exactly for ANY valid
+# triangulation (Delaunay diagonal ambiguity on the regular source grid is
+# harmless), so the DuckDB oracle is the closed-form affine evaluated at the
+# target lattice. True values * 1e4 are integers by construction, making the
+# floor-round-4 robust to float64 barycentric error (~1e-12).
+_LR_NLON, _LR_NLAT = 19, 19
+_LR_ORACLE = f"""
+    WITH t AS (
+      SELECT i AS query_id,
+             -125.8e0 + (i % {_LR_NLON}) * 0.2e0 AS lon,
+             32.2e0 + cast(floor(i / {_LR_NLON}.0e0) as bigint) * 0.2e0 AS lat
+      FROM (SELECT unnest(range(0, {_LR_NLON * _LR_NLAT})) AS i) r
+    )
+    SELECT query_id,
+           floor((100.0e0 + 2.0e0 * lon + 4.0e0 * lat) * 10000.0e0 + 0.5e0)
+             / 10000.0e0 AS value
+    FROM t
+"""
+
+
+@register("eng_linear_regrid", _LR_ORACLE)
 def eng_linear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scattered-data linear regrid (Delaunay barycentric, SURVEY J2):
-    geocoded docs as sources, a coastal lattice as targets."""
+    """Scattered-data linear regrid (Delaunay barycentric, SURVEY J2) run
+    through the REAL engine operator (tiling + halo replication +
+    applyInPandas triangulation); sources are a 0.2-degree grid carrying the
+    affine field 100 + 2*lon + 4*lat, targets an inset lattice — the oracle
+    is the closed form (exactness argument above). The scattered-source
+    behavior stays pytest-gated (tests/test_linear_regrid.py)."""
     from ..operators.regrid import lattice, regrid_linear_join
-    from .queries import geodocs
 
     src = (
-        geodocs(spark, sf_dir)
-        .withColumn("value", (F.col("doc_id") % 100) / 10.0)
-        .select(F.col("doc_id").alias("point_id"), "lon", "lat", "value")
+        lattice(spark, -126.0, 32.0, 0.2, 21, 21, partitions=8)
+        .select(
+            F.col("query_id").alias("point_id"),
+            "lon",
+            "lat",
+            (F.lit(100.0) + 2.0 * F.col("lon") + 4.0 * F.col("lat")).alias("value"),
+        )
     )
-    tgt = lattice(spark, -126.0, 32.0, 0.5, 20, 20, partitions=8)
-    return regrid_linear_join(spark, src, tgt, tile_res=4).orderBy("query_id")
+    tgt = lattice(spark, -125.8, 32.2, 0.2, _LR_NLON, _LR_NLAT, partitions=8)
+    out = regrid_linear_join(spark, src, tgt, tile_res=4)
+    return out.select(
+        "query_id",
+        (F.floor(F.col("value") * 10000.0 + 0.5) / 10000.0).alias("value"),
+    )
 
 
 @register("eng_pip_broadcast_udf")

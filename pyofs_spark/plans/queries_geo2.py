@@ -72,42 +72,80 @@ def _rot_sql(geodoc: str) -> str:
 
 _sql_query("geo_rotated_pole", _rot_sql(GEODOC_SPARK), _rot_sql(GEODOC_DUCK))
 
-# ---------------------------------------------------------------------------
-# C7 — WGS84 → Web-Mercator closed form (ref: utilities.py:18-21,437-456)
-# ---------------------------------------------------------------------------
-_R = "6378137.0e0"
 
-
-def _merc_sql(geodoc: str) -> str:
+# ---------------------------------------------------------------------------
+# C6 inverse — rotated-pole → geographic (unrotate) + roundtrip check
+# (ref: utilities.py:254-289 does both directions). Forward-rotate the
+# geocoded docs, then apply the inverse rotation Rz(phi)·Ry(theta) and
+# compare against the original coordinates.
+# ---------------------------------------------------------------------------
+def _unrot_sql(geodoc: str) -> str:
     return f"""
-    SELECT doc_id,
-           {round6(f'{_R} * radians(lon)')} AS merc_x,
-           {round6(f'{_R} * ln(tan({_PI} / 4.0e0 + radians(lat) / 2.0e0))')} AS merc_y
-    FROM {geodoc} g
-    WHERE lat > -85.0e0 AND lat < 85.0e0
+    WITH rot AS ({_rot_sql(geodoc)}),
+    rad AS (
+      SELECT doc_id, radians(rlon) AS ln, radians(rlat) AS lt FROM rot
+    ),
+    xyz AS (
+      SELECT doc_id,
+             cos(ln) * cos(lt) AS x, sin(ln) * cos(lt) AS y, sin(lt) AS z
+      FROM rad
+    ),
+    r1 AS (  -- Ry(theta): inverse of the forward Ry(-theta)
+      SELECT doc_id,
+             cos({_TH}) * x + sin({_TH}) * z AS x,
+             y,
+             -sin({_TH}) * x + cos({_TH}) * z AS z
+      FROM xyz
+    ),
+    r2 AS (  -- Rz(phi): inverse of the forward Rz(-phi)
+      SELECT doc_id,
+             cos({_PH}) * x - sin({_PH}) * y AS x,
+             sin({_PH}) * x + cos({_PH}) * y AS y,
+             z
+      FROM r1
+    ),
+    unrot AS (
+      SELECT doc_id,
+             {round6('degrees(atan2(y, x))')} AS lon_back,
+             {round6('degrees(asin(least(1.0e0, greatest(-1.0e0, z))))')} AS lat_back
+      FROM r2
+    )
+    SELECT u.doc_id, u.lon_back, u.lat_back,
+           abs(u.lon_back - {round6('g.lon')}) < 0.001e0
+             AND abs(u.lat_back - {round6('g.lat')}) < 0.001e0 AS roundtrip_ok
+    FROM unrot u JOIN {geodoc} g ON u.doc_id = g.doc_id
     """
 
 
-_sql_query("geo_web_mercator", _merc_sql(GEODOC_SPARK), _merc_sql(GEODOC_DUCK))
+_sql_query(
+    "geo_rotated_pole_inverse", _unrot_sql(GEODOC_SPARK), _unrot_sql(GEODOC_DUCK)
+)
 
 # ---------------------------------------------------------------------------
-# C8 — geodesy: geodetic radius, Coriolis frequency (ref: utilities.py:388-434)
+# C7 + C8 — WGS84 → Web-Mercator closed form + geodesy scalars, merged into
+# one gated query (round 2, 50-query window). Mercator outside the valid
+# |lat|<85 band is NULL-masked instead of row-filtered so the geodesy
+# columns keep full coverage. (ref: utilities.py:18-21,388-456)
 # ---------------------------------------------------------------------------
+_R = "6378137.0e0"
 _A, _B = "6378137.0e0", "6356752.314245e0"
 
 
-def _geod_sql(geodoc: str) -> str:
+def _proj_sql(geodoc: str) -> str:
     num = f"({_A} * {_A} * cos(radians(lat))) * ({_A} * {_A} * cos(radians(lat))) + ({_B} * {_B} * sin(radians(lat))) * ({_B} * {_B} * sin(radians(lat)))"
     den = f"({_A} * cos(radians(lat))) * ({_A} * cos(radians(lat))) + ({_B} * sin(radians(lat))) * ({_B} * sin(radians(lat)))"
+    merc_band = "lat > -85.0e0 AND lat < 85.0e0"
     return f"""
     SELECT doc_id,
+           CASE WHEN {merc_band} THEN {round6(f'{_R} * radians(lon)')} END AS merc_x,
+           CASE WHEN {merc_band} THEN {round6(f'{_R} * ln(tan({_PI} / 4.0e0 + radians(lat) / 2.0e0))')} END AS merc_y,
            {round6(f'sqrt(({num}) / ({den}))')} AS geodetic_radius_m,
            {round6('2.0e0 * 0.000072921e0 * sin(radians(lat))')} AS coriolis_f
     FROM {geodoc} g
     """
 
 
-_sql_query("geo_geodesy", _geod_sql(GEODOC_SPARK), _geod_sql(GEODOC_DUCK))
+_sql_query("geo_proj_geodesy", _proj_sql(GEODOC_SPARK), _proj_sql(GEODOC_DUCK))
 
 # ---------------------------------------------------------------------------
 # C9 — datetime rounding: hour / 10-minute / day (ref: PyOFS/__init__.py:121-199)

@@ -79,25 +79,21 @@ _sql_query(
     """,
 )
 
-# --- D: anti-join (F10 skip-if-exists semantics) ----------------------------
+# --- D+E: anti-join (F10 skip-if-exists) + semi-join (U4 intersection) ------
+# merged into one gated query (round 2) to keep the oracle-gated registry
+# inside the driver's 50-query correctness window; `side` disambiguates.
 _sql_query(
-    "rel_anti_join",
+    "rel_semi_anti",
     """
-    SELECT c.c_custkey, c.c_name
+    SELECT 'anti_no_recent_order' AS side, c.c_custkey AS key, c.c_name AS name
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey
         AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     )
-    """,
-)
-
-# --- E: semi-join (U4 intersection semantics) -------------------------------
-_sql_query(
-    "rel_semi_join",
-    """
-    SELECT s.s_suppkey, s.s_name
+    UNION ALL
+    SELECT 'semi_asia_supplier' AS side, s.s_suppkey AS key, s.s_name AS name
     FROM supplier s
     WHERE EXISTS (
       SELECT 1 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

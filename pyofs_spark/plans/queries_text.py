@@ -29,12 +29,20 @@ def _sql_query(name: str, body: str, oracle: str | None = None):
 
 # ---------------------------------------------------------------------------
 # Byte identity (north_star: extracted text byte-identical per url/key)
+# + positional polynomial prefix fingerprint (rolling-hash style, unrolled —
+# exact integer parity). Merged with the former txt_fingerprint query
+# (round 2) to keep the gated registry inside the driver's 50-query window.
 # ---------------------------------------------------------------------------
+_POLY_TERMS = " + ".join(
+    f"cast(ascii(substring(text, {k + 1}, 1)) as bigint) * {pow(31, 7 - k, 1_000_000_007)}"
+    for k in range(8)
+)
 _sql_query(
     "txt_byte_identity",
-    """
+    f"""
     SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len,
-           n_chars, length(text) = n_chars AS len_consistent
+           n_chars, length(text) = n_chars AS len_consistent,
+           ({_POLY_TERMS}) % 1000000007 AS fp_poly_prefix
     FROM documents
     """,
 )
@@ -90,25 +98,6 @@ _sql_query(
            CASE WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
                 WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_pred
     FROM scores
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# Fingerprinting: md5 whole-doc + positional polynomial hash of the prefix
-# (rolling-hash style, unrolled — exact integer parity)
-# ---------------------------------------------------------------------------
-_POLY_TERMS = " + ".join(
-    f"cast(ascii(substring(text, {k + 1}, 1)) as bigint) * {pow(31, 7 - k, 1_000_000_007)}"
-    for k in range(8)
-)
-_sql_query(
-    "txt_fingerprint",
-    f"""
-    SELECT doc_id,
-           md5(text) AS fp_md5,
-           ({_POLY_TERMS}) % 1000000007 AS fp_poly_prefix,
-           length(text) AS n_char
-    FROM documents
     """,
 )
 
