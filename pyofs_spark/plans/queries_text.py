@@ -260,12 +260,33 @@ _SIMHASH_BODY = f"""
 """
 _HAMMING_SPARK = "bit_count(a.simhash ^ b.simhash)"
 _HAMMING_DUCK = "bit_count(xor(a.simhash, b.simhash))"
-_SIMHASH_TAIL = """
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+# Pigeonhole banding (round 2 scale fix): hamming <= 2 over 12 bits means at
+# most 2 of the 3 disjoint 4-bit bands differ, so >= 1 band is EQUAL — the
+# candidate join is an equi-join on (band_idx, band_bits), never all-pairs.
+# Exact hamming re-check keeps the output identical to the brute-force form.
+_SH_BAND_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {i} AS band_idx, "
+    f"cast(floor(simhash / {16 ** i}.0e0) as bigint) % 16 AS band_bits FROM sub"
+    for i in range(3)
+)
+_SIMHASH_TAIL = f"""
+    , sub AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % 5 = 0),
+    bands AS (
+{_SH_BAND_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+       AND x.doc_id < y.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
            a.simhash AS sim_a, b.simhash AS sim_b,
-           {HAM} AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND {HAM} <= 2
+           {{HAM}} AS hamming
+    FROM cand
+    JOIN sub a ON a.doc_id = cand.id_a
+    JOIN sub b ON b.doc_id = cand.id_b
+    WHERE {{HAM}} <= 2
 """
 _sql_query(
     "dedup_simhash",
