@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--k", type=int, default=3)
     t.add_argument("--buckets", type=int, default=16, help="lineage partitions")
     t.add_argument("--master", default=None)
+    # `resume` = re-invoke tile-assign with the same args; per-partition
+    # lineage makes completed buckets a no-op (SURVEY T1 semantics).
+    r = sub.add_parser("resume", help="resume a tile-assignment run (lineage skip)")
+    for a in t._actions:
+        if a.dest != "help":
+            r._add_action(a)
     return p
 
 

@@ -135,10 +135,11 @@ def sst_from_kelvin(sst_k: np.ndarray) -> np.ndarray:
 
 
 def sses_correct(sst_c: np.ndarray, sses_bias: np.ndarray) -> np.ndarray:
-    """Subtract SSES bias; stored bias 0 means missing → treat as 0 after
-    unwrapping the +2.048 storage offset (ref: viirs.py:336-375)."""
-    bias = np.where(np.isnan(sses_bias), 0.0, sses_bias - SSES_OFFSET)
-    bias = np.where(np.isnan(sses_bias), 0.0, bias)
+    """Subtract SSES bias. Convention (pinned by the oracle-gated SQL twin
+    sst_sses_pipeline): stored raw bias 0 (or NaN) means missing → bias 0;
+    otherwise unwrap the +2.048 storage offset (ref: viirs.py:336-375)."""
+    missing = np.isnan(sses_bias) | (sses_bias == 0.0)
+    bias = np.where(missing, 0.0, sses_bias - SSES_OFFSET)
     return sst_c - bias
 
 

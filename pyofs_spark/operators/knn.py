@@ -85,9 +85,6 @@ def knn_join(
         F.col("lat").alias("_plat"),
         (F.col("_cy") * nx + F.col("_cx")).alias("_pcell"),
     )
-    if broadcast_points:
-        p = F.broadcast(p)
-
     if strategy == "auto":
         n_points = points.count()
         if n_points <= INLINE_POINTS_THRESHOLD:
@@ -96,6 +93,12 @@ def knn_join(
             strategy = "brute"
         else:
             strategy = "rings"
+    # The broadcast hint only makes sense for the dimension-sized paths;
+    # 'rings' exists precisely because the points side is too big to
+    # broadcast — hinting it there would push the full table to every
+    # executor (and the driver) in each ring join.
+    if broadcast_points and strategy != "rings":
+        p = F.broadcast(p)
     if strategy == "inline":
         # SHUFFLE-FREE path for dimension-sized points (stations): the point
         # list is folded into the plan as a literal struct array; per query

@@ -3,65 +3,74 @@
 Two paths with one contract (cosine top-k by (rounded cosine desc, id)):
 
 - `cosine_topk_bruteforce` — exact baseline: broadcast the (small) query
-  set, compute dot products via zip_with/aggregate ARRAY expressions
-  (JVM-side, no explode shuffle), window top-k. Right plan when
-  |queries| is small; cost O(|Q|·|C|·d) map work.
+  set, compute cosines with ONE Arrow-batched numpy einsum per batch
+  (vectorized pandas UDF), window top-k. Right plan when |queries| is
+  small; cost O(|Q|·|C|·d) map work.
 - `cosine_topk_lsh` — scale path: random-hyperplane LSH (signed projections
   onto `n_planes` fixed pseudo-random directions → bucket key), candidates
   = same-bucket pairs (multi-probe over `n_tables` independent tables),
   exact re-rank of candidates. Recall < 1 by construction; tested for
-  recall ≥ threshold vs brute force in tests/test_similarity.py.
+  recall ≥ threshold vs brute force in tests/test_regrid_similarity.py.
 
-The plane directions are derived deterministically from (table, plane, dim)
-via a hash → no RNG at query time (repo determinism rule).
+Round-2 scale fixes (VERDICT r01): bucketing is ONE scan of the vectors —
+a single pandas UDF computes all n_tables buckets per row with one
+(batch × dim) @ (dim × tables·planes) matmul, then posexplode fans the
+(table, bucket) pairs out; previously the table was scanned n_tables
+times via unionByName. The zip_with/aggregate lambda dot products
+(CodegenFallback — whole projection dropped to interpreted eval) are gone.
+
+The plane directions are derived deterministically from a frozen seed
+(repo determinism rule — no RNG at query time).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _stack(s: pd.Series, dim: int) -> np.ndarray:
+    """Arrow list column → (n, dim) float64 matrix."""
+    if len(s) == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    return np.array(s.to_list(), dtype=np.float64)
 
 
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+def _cosine6_udf(dim: int):
+    """floor-rounded-6 cosine of two vector columns; one einsum per batch."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _stack(a, dim), _stack(b, dim)
+        dot = np.einsum("ij,ij->i", ma, mb)
+        nrm = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = dot / nrm
+        return pd.Series(np.floor(c * 1e6 + 0.5) / 1e6)
+
+    return _cos
 
 
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector the k most similar
     candidate vectors (excluding itself). queries is broadcast."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-        ).withColumn("qnorm", _norm(F.col("qvec")))
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     )
-    c = vectors.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).withColumn("cnorm", _norm(F.col("cvec")))
+    c = vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     pairs = c.crossJoin(q).filter(F.col("qid") != F.col("cid"))
     cos = pairs.withColumn(
-        "cosine",
-        F.floor(
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm"))
-            * 1e6
-            + F.lit(0.5)
-        )
-        / 1e6,
+        "cosine", _cosine6_udf(dim)(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
     return (
@@ -85,24 +94,28 @@ def lsh_bucket_ids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, table_idx, bucket) — sign pattern of projections per table.
-    Projections are a JVM-side aggregate over the zipped literal plane
-    (no UDF): bucket = Σ 2^p · [dot(v, plane_tp) > 0]."""
+    """(vid, table_idx, bucket) — sign pattern of projections per table.
+
+    ONE scan of `vectors`: a single Arrow batch matmul against the
+    (dim × n_tables·n_planes) plane matrix yields every table's bucket at
+    once (array<int> of length n_tables), posexplode emits the pairs.
+    bucket = Σ_p 2^p · [dot(v, plane_tp) > 0]."""
     planes = _plane_matrix(dim, n_tables, n_planes)
-    out = None
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        for p_i in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, p_i]])
-            proj = _dot(F.col(vec_col), plane)
-            bucket = bucket + F.when(proj > 0, F.lit(1 << p_i)).otherwise(F.lit(0))
-        part = vectors.select(
-            F.col(id_col).alias("vid"),
-            F.lit(t).alias("table_idx"),
-            bucket.alias("bucket"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    pm = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T·P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = _stack(v, dim)
+        proj = m @ pm  # (n, T·P)
+        bits = (proj > 0).reshape(len(m), n_tables, n_planes)
+        buckets = bits @ weights  # (n, T)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
 
 
 def cosine_topk_lsh(
@@ -131,14 +144,7 @@ def cosine_topk_lsh(
     cv = vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     pairs = cand.join(F.broadcast(qv), "qid").join(cv, "cid")
     cos = pairs.withColumn(
-        "cosine",
-        F.floor(
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
-            * 1e6
-            + F.lit(0.5)
-        )
-        / 1e6,
+        "cosine", _cosine6_udf(dim)(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
     return (

@@ -28,8 +28,8 @@ def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
     return df.groupBy(cell_col).agg(F.count("*").alias("cell_count"))
 
 
-def hot_cells(df: DataFrame, cell_col: str = "cell_id", threshold: int | None = None,
-              top_fraction: float = 0.001) -> DataFrame:
+def hot_cells(df: DataFrame, cell_col: str = "cell_id",
+              threshold: int | None = None) -> DataFrame:
     """Cells whose count exceeds `threshold` (default: mean + 10x stddev of
     the histogram, floor 2x mean)."""
     hist = cell_histogram(df, cell_col)

@@ -77,6 +77,10 @@ def test_sses_and_kelvin():
     assert np.isnan(sst_c[1]) and np.isnan(sst_c[2])
     corrected = K.sses_correct(np.array([10.0]), np.array([2.548]))
     assert np.isclose(corrected[0], 9.5)  # bias = 2.548 - 2.048 = 0.5
+    # stored raw bias 0 and NaN both mean missing → bias 0 (the convention
+    # pinned by the oracle-gated sst_sses_pipeline SQL twin)
+    zero_nan = K.sses_correct(np.array([10.0, 10.0]), np.array([0.0, np.nan]))
+    assert np.allclose(zero_nan, [10.0, 10.0])
 
 
 def test_mean_semantics():
