@@ -8,8 +8,12 @@ assignments are exactly reproducible (the correctness gate). Two paths:
    Pure SQL, runs identically on Spark and DuckDB (oracle parity), stays in
    whole-stage codegen. Used for synthetic/bench tables keyed by id.
 
-2. `geocode_url_pandas` — FNV-1a 64-bit over the raw url bytes, Arrow-
-   vectorized (no per-row Python), for real string-keyed tables at scale.
+2. `geocode_url_key_sql` — for STRING-keyed tables (real Common-Crawl
+   urls): JVM `xxhash64(url)` reduced mod a prime to a nonnegative bigint
+   working key that feeds the same closed-form path. Zero Python, stays in
+   whole-stage codegen; the mod keeps later prime products inside BIGINT
+   under Spark 4 ANSI overflow checking. (Engine-only: DuckDB has no
+   xxhash64, so url-keyed runs are pytest/bench-gated, not oracle-gated.)
 
 The distribution is *coast-biased*: a configurable fraction of keys snap
 near a small set of "coastal" hot centers, producing the skewed hot cells
@@ -18,9 +22,6 @@ coast-concentrated: wcofs.gpkg study_area, PyOFS/model/wcofs.py:67).
 """
 
 from __future__ import annotations
-
-import numpy as np
-import pandas as pd
 
 from .sqlgen import flit
 
@@ -79,38 +80,13 @@ def duckdb_compat(sql: str) -> str:
     return out
 
 
-def _fnv1a64(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for b in data:
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+URL_KEY_PRIME = 1_000_003
 
 
-def fnv1a64_np(urls: pd.Series) -> np.ndarray:
-    """Vectorized-ish FNV-1a over a string Series (bytes-level, deterministic)."""
-    return np.fromiter(
-        (_fnv1a64(u.encode("utf-8")) for u in urls), dtype=np.uint64, count=len(urls)
-    )
+def geocode_url_key_sql(url_col: str) -> str:
+    """Nonnegative bigint working key from a url string — JVM-side only.
 
-
-def geocode_url_pandas(urls: pd.Series) -> pd.DataFrame:
-    """url → (lon, lat) with the same coast-biased distribution as the SQL path.
-
-    Used inside an Arrow-batched pandas UDF (see plans/pipeline.py).
-    """
-    h = fnv1a64_np(urls).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
-    hot = (h % HOT_FRACTION_MOD) < HOT_MOD_LT
-    centers = np.array(COAST_CENTERS)
-    ci = (h * _P3) % len(COAST_CENTERS)
-    lon = np.where(
-        hot,
-        centers[ci, 0] + ((h * _P1) % 1000) / 1000.0 - 0.5,
-        ((h * _P1) % 360000) / 1000.0 - 180.0,
-    )
-    lat = np.where(
-        hot,
-        centers[ci, 1] + ((h * _P2) % 1000) / 1000.0 - 0.5,
-        ((h * _P2) % 180000) / 1000.0 - 90.0,
-    )
-    return pd.DataFrame({"lon": lon, "lat": lat})
+    pmod keeps it in [0, URL_KEY_PRIME); the largest later product is
+    URL_KEY_PRIME * 104729 ≈ 1.05e11, comfortably inside BIGINT (Spark 4
+    ANSI mode errors on overflow rather than wrapping)."""
+    return f"pmod(xxhash64({url_col}), {URL_KEY_PRIME})"

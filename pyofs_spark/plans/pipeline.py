@@ -33,9 +33,15 @@ TILE_RES = 8  # 0.70° tiles for the assignment output
 
 
 def geocode_pages(pages: DataFrame, key_col: str = "page_id") -> DataFrame:
+    """Deterministic geocode. A STRING key column (e.g. url) is reduced to
+    a nonnegative bigint working key via JVM xxhash64 first — both paths
+    are zero-Python, whole-stage-codegen projections."""
+    key_expr = key_col
+    if dict(pages.dtypes).get(key_col) == "string":
+        key_expr = geocode.geocode_url_key_sql(key_col)
     return pages.withColumn(
-        "lon", F.expr(geocode.geocode_id_lon_sql(key_col))
-    ).withColumn("lat", F.expr(geocode.geocode_id_lat_sql(key_col)))
+        "lon", F.expr(geocode.geocode_id_lon_sql(key_expr))
+    ).withColumn("lat", F.expr(geocode.geocode_id_lat_sql(key_expr)))
 
 
 def assign_cells(df: DataFrame, res: int = TILE_RES) -> DataFrame:
@@ -64,9 +70,8 @@ def tile_assignment(
     """
     g = assign_cells(geocode_pages(pages, key_col), tile_res)
     g = pip_fixed(g)
-    base = g.select(
-        key_col, "url", "warc_ts", "lang", "lon", "lat", "cell_id", "polygon_id"
-    )
+    cols = [key_col, "url", "warc_ts", "lang", "lon", "lat", "cell_id", "polygon_id"]
+    base = g.select(*dict.fromkeys(c for c in cols if c in g.columns))
     if not with_knn:
         return base
     # station list is dimension-sized by contract → fold it into the plan:

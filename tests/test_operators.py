@@ -159,3 +159,24 @@ def test_station_fixture_pip():
     inside = P.pip_numpy(lon, lat, P.COASTAL_POLY)
     names_out = {s[0] for s, i in zip(STATIONS, inside) if not i}
     assert "41001" in names_out and "51001" in names_out
+
+
+def test_url_keyed_flagship_zero_python_plan(spark):
+    """Flagship on a STRING (url) key: xxhash64-based geocode keeps the
+    whole pipeline JVM-side — no Python eval node, no shuffle (single
+    map-only stage), deterministic per url."""
+    pages = synth_pages(spark, 2000, 8)
+    out = tile_assignment(spark, pages, key_col="url", k=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no row-wise or Arrow Python eval
+    assert "Exchange" not in plan  # zero-shuffle map-only plan
+    rows = out.collect()
+    assert len(rows) == 2000
+    # deterministic: same url -> same assignment on a re-run
+    again = {r.url: (r.cell_id, r.polygon_id) for r in
+             tile_assignment(spark, pages, key_col="url", k=1).collect()}
+    for r in rows:
+        assert again[r.url] == (r.cell_id, r.polygon_id)
+    # coast bias survives the hash route: a plurality of pages in hot cells
+    n_hot = sum(1 for r in rows if r.polygon_id is not None)
+    assert 0.2 * len(rows) < n_hot < 0.8 * len(rows)
