@@ -48,6 +48,75 @@ def rankine_vortex(
     return field
 
 
+def grid_field(
+    times: np.ndarray,
+    grid_x: np.ndarray,
+    grid_y: np.ndarray,
+    u_stack: np.ndarray,
+    v_stack: np.ndarray,
+) -> FieldFn:
+    """Velocity field from a GRIDDED snapshot stack — the reference's
+    per-RK-stage interpolation re-expressed (ref: particle_contour.py:
+    401-465: xarray .interp bilinear in space at the bfill/ffill-bracketed
+    snapshots, then linear .interp in time; bfill/ffill at :421-429).
+
+    times: (T,) ascending; u_stack/v_stack: (T, ny, nx) on the regular
+    (grid_x, grid_y) lattice. Clamped to the end snapshots outside
+    [times[0], times[-1]] (ffill/bfill edge semantics); out-of-grid
+    positions → NaN (kernels.bilinear_interp contract).
+
+    Scale note: an ocean-model velocity grid is dim-sized (MBs), so the
+    stack ships to executors inside the mapInPandas closure (a broadcast);
+    each RK stage is then a numpy batch evaluation — the J3 (bilinear) +
+    J6 (as-of time) composition INSIDE the iterative loop, with no join.
+    A grid too large to broadcast would instead be tiled and the particle
+    table co-partitioned by tile."""
+    from ..functions.kernels import bilinear_interp
+
+    ts = np.asarray(times, np.float64)
+    us = np.asarray(u_stack, np.float64)
+    vs = np.asarray(v_stack, np.float64)
+
+    def field(x: np.ndarray, y: np.ndarray, t: float):
+        # bracketing snapshots, clamped (bfill/ffill at the ends)
+        k1 = int(np.clip(np.searchsorted(ts, t, side="right"), 1, len(ts) - 1))
+        k0 = k1 - 1
+        if t <= ts[0]:
+            w = 0.0
+        elif t >= ts[-1]:
+            w = 1.0
+        else:
+            w = (t - ts[k0]) / (ts[k1] - ts[k0])
+        u0 = bilinear_interp(grid_x, grid_y, us[k0], x, y)
+        v0 = bilinear_interp(grid_x, grid_y, vs[k0], x, y)
+        if w == 0.0:
+            return u0, v0
+        u1 = bilinear_interp(grid_x, grid_y, us[k1], x, y)
+        v1 = bilinear_interp(grid_x, grid_y, vs[k1], x, y)
+        return (1 - w) * u0 + w * u1, (1 - w) * v0 + w * v1
+
+    return field
+
+
+def sample_field_to_grid(
+    field: FieldFn,
+    times: np.ndarray,
+    grid_x: np.ndarray,
+    grid_y: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sample an analytic field onto a (T, ny, nx) snapshot stack — the
+    test/demo generator for grid_field (stands in for reading a model's
+    NetCDF velocity output)."""
+    xx, yy = np.meshgrid(np.asarray(grid_x), np.asarray(grid_y))
+    u = np.empty((len(times), len(grid_y), len(grid_x)))
+    v = np.empty_like(u)
+    for k, t in enumerate(times):
+        uk, vk = field(xx.ravel(), yy.ravel(), float(t))
+        u[k] = uk.reshape(xx.shape)
+        v[k] = vk.reshape(xx.shape)
+    return u, v
+
+
 _RK_TABLEAU = {
     1: ([0.0], [1.0]),
     2: ([0.0, 0.5], [0.0, 1.0]),

@@ -41,6 +41,42 @@ def eng_advect_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_metrics(traj).orderBy("step")
 
 
+@register("eng_advect_grid")
+def eng_advect_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RK4 contour advection through a GRIDDED, time-varying velocity
+    field — bilinear in space + linear in time inside each RK stage, the
+    reference's hardest composition (J3+J6 inside the iterative loop,
+    ref: particle_contour.py:401-465). Field = Rankine snapshots with a
+    linear time ramp; exactness vs the analytic twin is pytest-gated
+    (tests/test_advection.py::test_gridded_field_matches_analytic)."""
+    import numpy as np
+
+    from ..operators.advection import (
+        circle_contour,
+        contour_metrics,
+        grid_field,
+        rankine_vortex,
+        sample_field_to_grid,
+        track_contour,
+    )
+
+    base = rankine_vortex(0.0, 0.0, 10_000.0, 1.0)
+
+    def scaled(x, y, t):
+        u, v = base(x, y, t)
+        s = 1.0 + t / 2400.0
+        return s * u, s * v
+
+    gx = np.arange(-12_000.0, 12_001.0, 500.0)
+    gy = np.arange(-12_000.0, 12_001.0, 500.0)
+    times = np.array([0.0, 300.0, 600.0, 900.0, 1200.0])
+    us, vs = sample_field_to_grid(scaled, times, gx, gy)
+    field = grid_field(times, gx, gy, us, vs)
+    seed = circle_contour(spark, 1.0, 4_000.0, 0.0, 2_000.0, n_vertices=32)
+    traj = track_contour(spark, seed, field, 0.0, 120.0, 10, order=4)
+    return contour_metrics(traj).orderBy("step")
+
+
 @register("eng_convex_hull")
 def eng_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed convex hull of the geocoded documents (SURVEY C13)."""

@@ -69,3 +69,42 @@ def test_respace_preserves_shape(spark):
     xs, ys = s0.sort_values("vertex_idx")["x"].to_numpy(), s0.sort_values("vertex_idx")["y"].to_numpy()
     seg = np.hypot(np.diff(xs), np.diff(ys))
     assert seg.std() / seg.mean() < 0.05
+
+
+def test_gridded_field_matches_analytic(spark):
+    """grid_field (bilinear space + linear time interp, the reference's
+    per-RK-stage composition) reproduces the analytic trajectory when the
+    time dependence is linear between snapshots and the grid is fine
+    (ref: particle_contour.py:401-465)."""
+    from pyofs_spark.operators.advection import grid_field, sample_field_to_grid
+
+    base = rankine_vortex(0.0, 0.0, radius=10_000.0, peak_speed=1.0)
+
+    def scaled(x, y, t):
+        u, v = base(x, y, t)
+        s = 1.0 + t / 2400.0  # linear ramp -> time interp is EXACT
+        return s * u, s * v
+
+    gx = np.arange(-12_000.0, 12_001.0, 250.0)
+    gy = np.arange(-12_000.0, 12_001.0, 250.0)
+    times = np.array([0.0, 300.0, 600.0, 900.0, 1200.0])
+    us, vs = sample_field_to_grid(scaled, times, gx, gy)
+    gridded = grid_field(times, gx, gy, us, vs)
+
+    seed = circle_contour(spark, 1.0, 4_000.0, 0.0, 2_000.0, n_vertices=24)
+    tg = track_contour(spark, seed, gridded, 0.0, 120.0, 10, order=4)
+    ta = track_contour(spark, seed, scaled, 0.0, 120.0, 10, order=4)
+    g = tg.filter("step = 10").toPandas().sort_values("vertex_idx")
+    a = ta.filter("step = 10").toPandas().sort_values("vertex_idx")
+    d = np.hypot(g["x"].to_numpy() - a["x"].to_numpy(),
+                 g["y"].to_numpy() - a["y"].to_numpy())
+    # total drift after 1200s at ~1.4 m/s is ~1.7 km; bilinear-vs-analytic
+    # velocity error on a 250 m grid keeps the divergence to meters
+    assert d.max() < 5.0, d.max()
+    # clamped (ffill) outside the last snapshot: field at t>1200 equals t=1200
+    u_end, v_end = gridded(np.array([4000.0]), np.array([0.0]), 1200.0)
+    u_post, v_post = gridded(np.array([4000.0]), np.array([0.0]), 5000.0)
+    assert u_end[0] == u_post[0] and v_end[0] == v_post[0]
+    # out-of-grid -> NaN (bilinear contract)
+    u_out, _ = gridded(np.array([50_000.0]), np.array([0.0]), 0.0)
+    assert np.isnan(u_out[0])
