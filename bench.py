@@ -105,9 +105,12 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
         shuffle_partitions=max(cores, 8),
         extra_conf={
             # ParallelGC: ~1.7x over G1 for this allocation-heavy throughput
-            # job (strings + per-row arrays); pause times don't matter here
+            # job (strings + per-row arrays); pause times don't matter here.
+            # Fixed pre-touched heap: heap GROWTH under the hypervisor's
+            # lazy page allocation contaminates runs (see run_scaling_exec).
             "spark.driver.extraJavaOptions": (
                 f"-XX:ActiveProcessorCount={cores} -XX:+UseParallelGC"
+                f" -Xms8g -XX:+AlwaysPreTouch"
             )
         },
     )
@@ -122,20 +125,176 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
         n = _force_full_compute(out)
         dt = time.time() - t0
         steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
-        runs_info.append({"sec": round(dt, 2), "steal_cpu_sec": round(steal, 1)})
+        # steal is VM-wide (32 cpus): normalize to the fraction of total
+        # host capacity stolen during the run window
+        frac = steal / (32.0 * dt) if dt > 0 else 0.0
+        runs_info.append(
+            {
+                "sec": round(dt, 2),
+                "steal_cpu_sec": round(steal, 1),
+                "steal_frac": round(frac, 4),
+            }
+        )
     spark.stop()
-    runs_info.sort(key=lambda r: r["sec"])
-    best = runs_info[0]["sec"]
-    med = runs_info[len(runs_info) // 2]["sec"]
+    ordered = sorted(runs_info, key=lambda r: r["sec"])
+    best = ordered[0]["sec"]
+    med = ordered[len(ordered) // 2]["sec"]
+    # primary estimator (round 2): median of CLEAN runs — steal under 2% of
+    # host capacity during the window. Robust to both slow outliers (steal
+    # bursts) and lucky fast tails; falls back to best if nothing is clean.
+    clean = sorted(r["sec"] for r in runs_info if r["steal_frac"] < 0.02)
+    med_clean = clean[len(clean) // 2] if clean else best
     print(
         json.dumps(
             {
                 "median_sec": med,
                 "best_sec": best,
+                "median_clean_sec": med_clean,
+                "n_clean": len(clean),
                 "pages_per_sec": round(n_pages / best, 1),
                 "pages_per_sec_median": round(n_pages / med, 1),
+                "pages_per_sec_median_clean": round(n_pages / med_clean, 1),
                 "runs": runs_info,
                 "rows": n,
+            }
+        )
+    )
+
+
+def exec_fleet_worker(
+    lo: int, hi: int, n0: int, n1: int, runs: int, sig_prefix: str
+) -> None:
+    """One pinned 4-core 'executor' JVM of a fleet — its own process, heap,
+    GC and JIT, exactly like a cluster executor. -Xms=-Xmx+AlwaysPreTouch:
+    concurrent heap GROWTH across JVMs thrashes the hypervisor's lazy page
+    allocation (measured 6x wall inflation without it); real executors run
+    fixed heaps too."""
+    os.sched_setaffinity(0, set(range(lo, hi)))
+    cores = hi - lo
+    from pyspark.sql import functions as F
+
+    from pyofs_spark.plans.pipeline import tile_assignment
+    from pyofs_spark.session import get_session
+    from pyofs_spark.synth import synth_pages
+
+    spark = get_session(
+        master=f"local[{cores}]",
+        app_name=f"pyofs-exec-{lo}",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores} -XX:+UseParallelGC "
+                f"-Xms6g -XX:+AlwaysPreTouch"
+            ),
+            "spark.driver.memory": "6g",
+        },
+    )
+
+    def job(a: int, b: int) -> int:
+        pages = synth_pages(spark, b - a, 32).withColumn(
+            "page_id", F.col("page_id") + a
+        )
+        return _force_full_compute(tile_assignment(spark, pages, k=3))
+
+    job(n0, n0 + 10_000)  # warms the exact generated class (same +a literal)
+    print(json.dumps({"ready": lo}), flush=True)
+    for k in range(runs):
+        while not os.path.exists(f"{sig_prefix}_{k}"):
+            time.sleep(0.02)
+        t0 = time.time()
+        job(n0, n1)
+        print(json.dumps({"k": k, "lo": lo, "sec": round(time.time() - t0, 2)}), flush=True)
+
+
+def run_scaling_exec(pages_per_exec: int = 30_000_000, runs: int = 6) -> None:
+    """North-rule two-cluster-size measurement with REAL executor
+    processes: a fleet of E pinned 4-core JVMs (disjoint CPU sets, own
+    heap/GC/JIT — what '--num-executors E' gives you on one node) at
+    E=1 (N) and E=4 (4N), identical per-executor shard of the synthetic
+    pages table. Per-run barrier start; fleet makespan = slowest executor.
+    Efficiency = throughput(4 exec) / (4 x throughput(1 exec)), on the
+    median-of-clean-runs estimator (steal_frac < 2%)."""
+    import subprocess
+
+    results: dict[int, dict] = {}
+    for n_exec in (1, 4):
+        sig = f"/tmp/pyofs_fleet_{os.getpid()}_{n_exec}"
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__), "--exec-worker",
+                    str(e * 4), str((e + 1) * 4),
+                    str(e * pages_per_exec), str((e + 1) * pages_per_exec),
+                    str(runs), sig,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for e in range(n_exec)
+        ]
+        for p in procs:  # wait until every executor reports warm
+            while True:
+                line = p.stdout.readline()
+                if '"ready"' in line:
+                    break
+        fleet_runs = []
+        total = n_exec * pages_per_exec
+        for k in range(runs):
+            st0 = _steal_ticks()
+            t0 = time.time()
+            with open(f"{sig}_{k}", "w"):
+                pass
+            worker_secs = []
+            for p in procs:
+                worker_secs.append(json.loads(p.stdout.readline())["sec"])
+            wall = time.time() - t0
+            steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
+            frac = steal / (32.0 * wall)
+            fleet_runs.append(
+                {
+                    "makespan": round(wall, 2),
+                    "worker_secs": worker_secs,
+                    "steal_cpu_sec": round(steal, 1),
+                    "steal_frac": round(frac, 4),
+                }
+            )
+        for p in procs:
+            p.wait(timeout=60)
+        for k in range(runs):
+            try:
+                os.unlink(f"{sig}_{k}")
+            except OSError:
+                pass
+        ordered = sorted(fleet_runs, key=lambda r: r["makespan"])
+        best = ordered[0]["makespan"]
+        clean = sorted(
+            r["makespan"] for r in fleet_runs if r["steal_frac"] < 0.02
+        )
+        med_clean = clean[len(clean) // 2] if clean else best
+        results[n_exec] = {
+            "best_makespan": best,
+            "median_clean_makespan": med_clean,
+            "n_clean": len(clean),
+            "pages_per_sec_best": round(total / best, 1),
+            "pages_per_sec_median_clean": round(total / med_clean, 1),
+            "runs": fleet_runs,
+        }
+        print(f"# fleet {n_exec}x4c: {results[n_exec]}", file=sys.stderr)
+
+    def eff(key: str) -> float:
+        return round(results[4][key] / (4 * results[1][key]), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tile_assignment_executor_scaling",
+                "value": eff("pages_per_sec_median_clean"),
+                "unit": "efficiency_1_to_4_executors_median_clean",
+                "eff_best": eff("pages_per_sec_best"),
+                "pages_per_exec": pages_per_exec,
+                "by_executors": {str(k): v for k, v in results.items()},
             }
         )
     )
@@ -174,18 +333,19 @@ def run_scaling(n_pages: int = 120_000_000, runs: int = 4) -> None:
         results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
         print(f"# local[{cores}] pinned: {results[cores]}", file=sys.stderr)
 
-    def eff(lo: int, hi: int) -> float:
-        return round(
-            results[hi]["pages_per_sec"] / (4 * results[lo]["pages_per_sec"]), 3
-        )
+    def eff(lo: int, hi: int, key: str = "pages_per_sec_median_clean") -> float:
+        return round(results[hi][key] / (4 * results[lo][key]), 3)
 
     print(
         json.dumps(
             {
                 "metric": "tile_assignment_scaling",
+                # primary estimator: median-of-clean-runs (steal_frac < 2%)
                 "value": eff(4, 16),
-                "unit": "efficiency_4_to_16_cores",
+                "unit": "efficiency_4_to_16_cores_median_clean",
+                "eff_4_to_16_best": eff(4, 16, "pages_per_sec"),
                 "eff_8_to_32": eff(8, 32),
+                "eff_8_to_32_best": eff(8, 32, "pages_per_sec"),
                 "n_pages": n_pages,
                 "by_cores": {str(c): results[c] for c in sorted(results)},
             }
@@ -194,14 +354,24 @@ def run_scaling(n_pages: int = 120_000_000, runs: int = 4) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling-worker" in sys.argv:
+    if "--exec-worker" in sys.argv:
+        i = sys.argv.index("--exec-worker")
+        a = sys.argv[i + 1 : i + 7]
+        exec_fleet_worker(int(a[0]), int(a[1]), int(a[2]), int(a[3]), int(a[4]), a[5])
+    elif "--scaling-exec" in sys.argv:
+        i = sys.argv.index("--scaling-exec")
+        extra = sys.argv[i + 1 :]
+        pages = int(extra[0]) if extra and extra[0].isdigit() else 30_000_000
+        runs = int(extra[1]) if len(extra) > 1 and extra[1].isdigit() else 6
+        run_scaling_exec(pages, runs)
+    elif "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]))
     elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         extra = sys.argv[i + 1 :]
         n_pages = int(extra[0]) if extra and extra[0].isdigit() else 120_000_000
-        runs = int(extra[1]) if len(extra) > 1 and extra[1].isdigit() else 4
+        runs = int(extra[1]) if len(extra) > 1 and extra[1].isdigit() else 8
         run_scaling(n_pages, runs)
     else:
         run_queries()

@@ -8,19 +8,22 @@ distributed engine:
 
 - work is split into logical partitions (here: deterministic key ranges /
   warc-day buckets — NOT Spark task partitions, which are physical),
-- each completed partition writes its output under `out/part_key=.../` AND
-  appends a lineage row (partition key, input fingerprint, row count,
-  wall seconds, finished_at) — write order: data first, lineage last, so a
-  lineage row implies its data is complete (the crash window leaves at most
-  orphan data, which re-running overwrites idempotently: dynamic partition
-  overwrite),
-- resume = anti-join pending partitions against the lineage table
-  (the reference's existence predicate, as a real anti-join).
+- each completed partition writes its output under `out/part_key=.../`,
+  then COMMITS to a versioned manifest (Iceberg-snapshot-style: new
+  `_manifest/v{N}.json` listing every live partition, then an atomic
+  os.replace of `_manifest/current.json` — the catalog pointer swap).
+  Readers resolve partitions THROUGH the current snapshot, so data from a
+  crashed half-written partition is invisible until its commit lands:
+  snapshot isolation, no orphan-data window for readers. Re-running
+  overwrites the orphan directory idempotently before committing it.
+- resume = anti-join pending partitions against the current snapshot
+  (the reference's existence predicate, as a real anti-join),
+- the per-partition LineageLog doubles as the metrics sink (row counts,
+  timings) for the bench harness.
 
-On Iceberg this is a transactional append + snapshot; on plain parquet we
-keep identical semantics with per-partition atomic directory writes. The
-lineage table doubles as the metrics sink (row counts, timings per
-partition) for the bench harness.
+On real Iceberg the snapshot swap is a catalog CAS (optimistic
+concurrency, multi-writer); this single-driver stand-in asserts the
+expected parent version at swap time to surface lost-update races.
 """
 
 from __future__ import annotations
@@ -79,6 +82,49 @@ class LineageLog:
         )
 
 
+class Manifest:
+    """Versioned snapshot manifest (single JSON per version + atomically
+    swapped `current.json` pointer). The read path's source of truth."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+        self.current_path = os.path.join(self.dir, "current.json")
+
+    def current(self) -> dict:
+        if not os.path.exists(self.current_path):
+            return {"version": 0, "partitions": {}}
+        with open(self.current_path) as fh:
+            return json.load(fh)
+
+    def commit(self, part_key: str, entry: dict) -> dict:
+        """Publish a new snapshot with `part_key` → entry added/replaced.
+
+        Write order: full snapshot file first (v{N}.json, kept as history
+        for time travel/debugging), then atomic pointer swap. A crash
+        between the two leaves current.json at the previous snapshot —
+        readers never see a partial commit."""
+        snap = self.current()
+        version = snap["version"] + 1
+        parts = dict(snap["partitions"])
+        parts[part_key] = entry
+        new = {
+            "version": version,
+            "parent_version": snap["version"],
+            "partitions": parts,
+        }
+        vpath = os.path.join(self.dir, f"v{version}.json")
+        if os.path.exists(vpath):  # lost-update guard (single-writer contract)
+            raise RuntimeError(f"manifest version collision at v{version}")
+        with open(vpath, "w") as fh:
+            json.dump(new, fh)
+        tmp = os.path.join(self.dir, ".current.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(new, fh)
+        os.replace(tmp, self.current_path)  # atomic snapshot swap
+        return new
+
+
 def run_partitioned(
     spark: SparkSession,
     out_root: str,
@@ -93,7 +139,8 @@ def run_partitioned(
     (tested in tests/test_lineage.py). Returns summary metrics.
     """
     log = LineageLog(out_root)
-    done = log.completed()
+    manifest = Manifest(out_root)
+    done = manifest.current()["partitions"]
     ran, skipped = [], []
     for key in part_keys:
         if key in done and done[key]["input_fingerprint"] == fingerprint(key):
@@ -104,12 +151,31 @@ def run_partitioned(
         path = os.path.join(out_root, f"part_key={key}")
         df.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
-        log.record(key, fingerprint(key), n, time.time() - t0)
+        wall = time.time() - t0
+        log.record(key, fingerprint(key), n, wall)  # metrics sink
+        manifest.commit(  # snapshot publish — makes the partition visible
+            key,
+            {
+                "input_fingerprint": fingerprint(key),
+                "n_rows": n,
+                "wall_sec": round(wall, 3),
+                "path": f"part_key={key}",
+            },
+        )
         ran.append(key)
     return {"ran": ran, "skipped": skipped, "lineage": log.completed()}
 
 
 def read_output(spark: SparkSession, out_root: str) -> DataFrame:
+    """Read through the current manifest snapshot: only committed
+    partitions are visible (orphan directories from a crash are not).
+    Falls back to the directory glob for pre-manifest outputs."""
+    snap = Manifest(out_root).current()
+    if snap["partitions"]:
+        paths = [
+            os.path.join(out_root, e["path"]) for e in snap["partitions"].values()
+        ]
+        return spark.read.option("basePath", out_root).parquet(*paths)
     return spark.read.option("basePath", out_root).parquet(
         os.path.join(out_root, "part_key=*")
     )

@@ -140,3 +140,75 @@ def test_streaming_daily_counts(spark):
         assert got == expect and len(got) > 100
     finally:
         shutil.rmtree(src_dir)
+
+
+def test_manifest_snapshot_isolation(spark):
+    """Readers resolve partitions through the current manifest snapshot:
+    orphan data from a crashed, uncommitted partition is invisible until
+    its commit lands (Iceberg-style snapshot isolation)."""
+    from pyofs_spark.lineage import Manifest
+
+    keys = [f"bucket_{i}" for i in range(2)]
+    d = tempfile.mkdtemp()
+    try:
+        run_partitioned(spark, d, keys, _build)
+        n_before = read_output(spark, d).count()
+        m = Manifest(d)
+        assert m.current()["version"] == 2  # one snapshot per commit
+        # crash leaves orphan data for an uncommitted partition
+        _build(spark, "bucket_3").write.mode("overwrite").parquet(
+            os.path.join(d, "part_key=bucket_3")
+        )
+        assert read_output(spark, d).count() == n_before  # not visible
+        run_partitioned(spark, d, keys + ["bucket_3"], _build)
+        assert read_output(spark, d).count() == n_before + 50
+        assert m.current()["version"] == 3
+        # history retained for time travel: v1..v3 all on disk
+        assert all(
+            os.path.exists(os.path.join(d, "_manifest", f"v{v}.json"))
+            for v in (1, 2, 3)
+        )
+    finally:
+        shutil.rmtree(d)
+
+
+def test_streaming_dedup_first_seen(spark):
+    """applyInPandasWithState streaming dedup: every key emitted exactly
+    once; single-batch canonical == batch-mode min(doc_id) (dedup_exact
+    twin); a second pass over more files re-emits nothing."""
+    import tempfile as tf
+
+    from pyofs_spark.streaming.dedup import streaming_dedup_first_seen
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.md5(F.substring("text", 1, 40)).alias("norm_key"),
+                F.col("doc_id"))
+    )
+    src = tf.mkdtemp()
+    chk = tf.mkdtemp()
+    try:
+        docs.filter("doc_id < 250").coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = streaming_dedup_first_seen(stream)
+        q = (out.writeStream.format("memory").queryName("sd")
+             .option("checkpointLocation", chk).outputMode("append").start())
+        q.processAllAvailable()
+        got1 = {r.norm_key: (r.canonical_id, r.n_rows)
+                for r in spark.sql("SELECT * FROM sd").collect()}
+        expect1 = {r.norm_key: (r.canonical_id, r.n_rows)
+                   for r in docs.filter("doc_id < 250")
+                   .groupBy("norm_key")
+                   .agg(F.min("doc_id").alias("canonical_id"),
+                        F.count("*").alias("n_rows")).collect()}
+        assert got1 == expect1  # single batch == batch dedup_exact shape
+        # second micro-batch: already-seen keys must NOT re-emit
+        docs.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM sd").collect()
+        keys = [r.norm_key for r in rows]
+        assert len(keys) == len(set(keys))  # exactly one emission per key
+        assert set(keys) == {r.norm_key for r in docs.select("norm_key").distinct().collect()}
+    finally:
+        shutil.rmtree(src), shutil.rmtree(chk)
