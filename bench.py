@@ -196,7 +196,11 @@ def exec_fleet_worker(
         )
         return _force_full_compute(tile_assignment(spark, pages, k=3))
 
-    job(n0, n0 + 10_000)  # warms the exact generated class (same +a literal)
+    job(n0, n0 + 10_000)  # compiles the exact generated class (same +a literal)
+    job(n0, n1)  # FULL untimed warmup: C2-JITs the hot loops and lets the
+    # host finish absorbing the 4x6g pre-touch faults before timing starts
+    # (observed: first fleet runs degrade 2-8x, uniformly across workers,
+    # then settle — host-side memory consolidation, steal-invisible)
     print(json.dumps({"ready": lo}), flush=True)
     for k in range(runs):
         while not os.path.exists(f"{sig_prefix}_{k}"):
@@ -206,7 +210,9 @@ def exec_fleet_worker(
         print(json.dumps({"k": k, "lo": lo, "sec": round(time.time() - t0, 2)}), flush=True)
 
 
-def run_scaling_exec(pages_per_exec: int = 30_000_000, runs: int = 6) -> None:
+def run_scaling_exec(
+    pages_per_exec: int = 30_000_000, runs: int = 6, cooldown_sec: float = 20.0
+) -> None:
     """North-rule two-cluster-size measurement with REAL executor
     processes: a fleet of E pinned 4-core JVMs (disjoint CPU sets, own
     heap/GC/JIT — what '--num-executors E' gives you on one node) at
@@ -242,6 +248,14 @@ def run_scaling_exec(pages_per_exec: int = 30_000_000, runs: int = 6) -> None:
         fleet_runs = []
         total = n_exec * pages_per_exec
         for k in range(runs):
+            # Cooldown between runs: sustained all-core load makes the HOST
+            # power-throttle this VM (observed: back-to-back 16-core fleet
+            # runs degrade monotonically 18s -> 55s at steal ~0 — busy ticks
+            # at a lower clock are invisible to every guest counter). A real
+            # N-executor cluster doesn't share one machine's power envelope,
+            # so duty-cycling isolates Spark scaling from host power
+            # management. Documented in BENCH/BASELINE.md.
+            time.sleep(cooldown_sec)
             st0 = _steal_ticks()
             t0 = time.time()
             with open(f"{sig}_{k}", "w"):
