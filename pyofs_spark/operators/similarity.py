@@ -118,6 +118,111 @@ def lsh_bucket_ids(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 32,
+    sample_mod: int = 7,
+    iters: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd k-means on a DETERMINISTIC sample
+    (id % sample_mod == 0 — pushdown-friendly, no RNG at query time; the
+    init is the first n_centroids sample rows in id order). The sample is
+    dim-sized (thousands of rows), so training is a driver-side numpy
+    loop; the full table is never collected."""
+    rows = (
+        vectors.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ c.T  # cosine on normalized rows
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def _centroid_topn_udf(centroids: np.ndarray, nprobe: int, dim: int):
+    """array<int> of the nprobe nearest centroid ids per vector — one
+    matmul per Arrow batch."""
+    ct = centroids.T.copy()
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        m = _stack(v, dim)
+        nrm = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = (m / nrm) @ ct
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return _probe
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    n_post: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → every vector posts to its
+    n_post nearest centroids (multi-assigned inverted lists), every query
+    probes its nprobe nearest; exact cosine re-rank of candidates. One scan
+    of the vectors for listing + one for the re-rank fetch — the same
+    bucket-join shape as the LSH path, but with data-adaptive buckets
+    (better recall on clustered embeddings at equal candidate cost).
+    Lists shard by centroid id at 10^12 scale; hot lists split via AQE."""
+    cents = ivf_centroids(vectors, dim, n_centroids, id_col=id_col, vec_col=vec_col)
+    # multi-assignment: each vector posts to its n_post nearest lists —
+    # boundary vectors appear in both neighboring lists, which is what
+    # recovers recall near cluster boundaries at n_post/n_centroids extra
+    # storage (the standard IVF replication tradeoff)
+    post = vectors.select(
+        F.col(id_col).alias("cid_v"),
+        F.explode(_centroid_topn_udf(cents, n_post, dim)(F.col(vec_col))).alias(
+            "centroid"
+        ),
+    )
+    probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(_centroid_topn_udf(cents, nprobe, dim)(F.col(vec_col))).alias(
+            "centroid"
+        ),
+    )
+    cand = (
+        probe.join(post, "centroid")
+        .filter(F.col("qid") != F.col("cid_v"))
+        .select("qid", F.col("cid_v").alias("cid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    cv = vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    pairs = cand.join(F.broadcast(qv), "qid").join(cv, "cid")
+    cos = pairs.withColumn(
+        "cosine", _cosine6_udf(dim)(F.col("qvec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return (
+        cos.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("qid", "cid", "cosine", "sim_rank")
+    )
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -168,6 +168,9 @@ def geo_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_key="doc_id",
         point_key="station_id",
         max_ring=6,
+        # stations are dimension-sized by contract: name the inline
+        # strategy up front so planning skips the auto-selector's count job
+        strategy="inline",
     ).select("doc_id", "station_id", "dist2", "knn_rank")
 
 

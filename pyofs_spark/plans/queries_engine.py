@@ -24,6 +24,20 @@ def eng_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(vecs, queries, k=5, dim=64, n_tables=8)
 
 
+@register("eng_cosine_ivf")
+def eng_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists, multi-assignment, nprobe probing)
+    — the data-adaptive counterpart to eng_cosine_lsh; recall vs brute
+    force pytest-gated (tests/test_regrid_similarity.py)."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(
+        vecs, queries, k=5, dim=64, n_centroids=16, nprobe=4, n_post=3
+    )
+
+
 @register("eng_advect_contour")
 def eng_advect_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RK4 contour advection through a Rankine vortex; per-step

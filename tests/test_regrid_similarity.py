@@ -135,3 +135,25 @@ def test_multimodal_features(spark):
     n_videos = media.filter("kind = 'video'").count()
     assert frames.count() >= n_videos  # ≥1 frame per video
     assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_ivf_recall_vs_brute(spark):
+    """IVF (k-means inverted lists + nprobe probing) recall vs brute force
+    on the clustered embedding fixture."""
+    from pyofs_spark.operators.similarity import cosine_topk_ivf
+
+    vecs = _pdvecs(spark)
+    queries = vecs.filter(F.col("vec_id") % 20 == 0)
+    brute = cosine_topk_bruteforce(vecs, queries, k=5)
+    approx = cosine_topk_ivf(
+        vecs, queries, k=5, dim=64, n_centroids=16, nprobe=4, n_post=3
+    )
+    b = {(r.qid, r.cid) for r in brute.collect()}
+    a = {(r.qid, r.cid) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, recall
+    # determinism: the quantizer is seeded by the data, not an RNG
+    again = {(r.qid, r.cid) for r in cosine_topk_ivf(
+        vecs, queries, k=5, dim=64, n_centroids=16, nprobe=4, n_post=3
+    ).collect()}
+    assert a == again
