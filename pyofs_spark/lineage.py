@@ -131,17 +131,24 @@ def run_partitioned(
     part_keys: list[str],
     build_partition: Callable[[SparkSession, str], DataFrame],
     fingerprint: Callable[[str], str] = lambda k: k,
+    size_of: Callable[[str], float] | None = None,
 ) -> dict:
     """Run build_partition for every part_key not yet in the lineage log.
 
     Idempotent + resumable: killing the job mid-run and re-invoking
     completes only the missing partitions; output equals a single run
-    (tested in tests/test_lineage.py). Returns summary metrics.
-    """
+    (tested in tests/test_lineage_skew.py). Returns summary metrics.
+
+    size_of: optional estimated input size per key — pending partitions
+    run LARGEST-FIRST (the reference schedules its downloads biggest-first,
+    SURVEY O3; longest-job-first minimizes makespan when the tail job
+    would otherwise straggle)."""
     log = LineageLog(out_root)
     manifest = Manifest(out_root)
     done = manifest.current()["partitions"]
     ran, skipped = [], []
+    if size_of is not None:
+        part_keys = sorted(part_keys, key=size_of, reverse=True)
     for key in part_keys:
         if key in done and done[key]["input_fingerprint"] == fingerprint(key):
             skipped.append(key)

@@ -212,3 +212,18 @@ def test_streaming_dedup_first_seen(spark):
         assert set(keys) == {r.norm_key for r in docs.select("norm_key").distinct().collect()}
     finally:
         shutil.rmtree(src), shutil.rmtree(chk)
+
+
+def test_size_ordered_scheduling(spark):
+    """O3: pending partitions run largest-first when size_of is given;
+    resume skip-set is unaffected by the ordering."""
+    keys = [f"bucket_{i}" for i in range(4)]
+    sizes = {"bucket_0": 10, "bucket_1": 40, "bucket_2": 20, "bucket_3": 30}
+    d = tempfile.mkdtemp()
+    try:
+        r = run_partitioned(spark, d, keys, _build, size_of=lambda k: sizes[k])
+        assert r["ran"] == ["bucket_1", "bucket_3", "bucket_2", "bucket_0"]
+        r2 = run_partitioned(spark, d, keys, _build, size_of=lambda k: sizes[k])
+        assert r2["ran"] == [] and set(r2["skipped"]) == set(keys)
+    finally:
+        shutil.rmtree(d)
