@@ -27,6 +27,27 @@ def _sql_query(name: str, body: str, oracle: str | None = None):
     return fn
 
 
+def _sql_query_materialized(
+    name: str, spark_pre: str, view: str, spark_tail: str, oracle: str
+):
+    """Register a Spark query whose shared intermediate (`spark_pre`) is
+    MATERIALIZED once (localCheckpoint) and exposed to `spark_tail` as a
+    temp view. Spark INLINES WITH-CTEs, so a CTE referenced N times is
+    recomputed N times (the LSH tail references sigs 6x); DuckDB
+    materializes multi-reference CTEs, so the oracle keeps the plain
+    one-statement form. Values identical — only the Spark plan changes."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        base = spark.sql(spark_pre).localCheckpoint(eager=False)
+        base.createOrReplaceTempView(view)
+        return spark.sql(spark_tail)
+
+    fn.__name__ = name
+    register(name, oracle)(fn)
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Byte identity (north_star: extracted text byte-identical per url/key)
 # + positional polynomial prefix fingerprint (rolling-hash style, unrolled —
@@ -140,11 +161,35 @@ _JACCARD_BODY = """
     WHERE inter * 1.0e0 / (sa.n + sb.n - inter) >= 0.6e0
 """
 _JACCARD_ROUND = round6("inter * 1.0e0 / (sa.n + sb.n - inter)")
-_sql_query(
+# Spark side: the words set is referenced 3x (self-join a/b + sizes) and
+# Spark inlines CTEs -> materialize it once (oracle keeps the 1-statement
+# form; DuckDB materializes multi-ref CTEs itself).
+_JACCARD_PRE_SPARK = """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT DISTINCT doc_id, w FROM (
+      SELECT doc_id, explode(split(text, ' ')) AS w FROM docs
+    ) t WHERE w != ''
+"""
+_JACCARD_TAIL_SPARK = """
+    WITH words AS (SELECT * FROM ng_words),
+    sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+           {ROUND} AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0e0 / (sa.n + sb.n - inter) >= 0.6e0
+""".replace("{ROUND}", _JACCARD_ROUND)
+_sql_query_materialized(
     "dedup_ngram_jaccard",
-    _JACCARD_BODY.replace("{UNNEST}", "explode(split(text, ' '))").replace(
-        "{ROUND}", _JACCARD_ROUND
-    ),
+    _JACCARD_PRE_SPARK,
+    "ng_words",
+    _JACCARD_TAIL_SPARK,
     oracle=_JACCARD_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))").replace(
         "{ROUND}", _JACCARD_ROUND
     ),
@@ -231,9 +276,14 @@ _LSH_TAIL = f"""
     JOIN sigs a ON a.doc_id = cand.id_a
     JOIN sigs b ON b.doc_id = cand.id_b
 """
-_sql_query(
+# Spark references sigs 6x in the LSH tail (4 band projections + 2 exact
+# re-rank joins) and inlines CTEs -> the whole shingle+minhash pipeline
+# would run 6x. Materialize sigs once.
+_sql_query_materialized(
     "dedup_minhash_lsh",
-    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_SPARK) + _LSH_TAIL,
+    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_SPARK) + "    SELECT * FROM sigs",
+    "mh_sigs",
+    "    WITH sigs AS (SELECT * FROM mh_sigs)" + _LSH_TAIL,
     oracle=_MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK) + _LSH_TAIL,
 )
 
@@ -288,9 +338,14 @@ _SIMHASH_TAIL = f"""
     JOIN sub b ON b.doc_id = cand.id_b
     WHERE {{HAM}} <= 2
 """
-_sql_query(
+# sigs feeds the %5 sub used 5x (3 band projections + 2 re-check joins):
+# materialize the signature table once on the Spark side.
+_sql_query_materialized(
     "dedup_simhash",
     _SIMHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))")
+    + "    SELECT * FROM sigs",
+    "sh_sigs",
+    "    WITH sigs AS (SELECT * FROM sh_sigs)"
     + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_SPARK),
     oracle=_SIMHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
     + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_DUCK),
