@@ -394,6 +394,12 @@ def _cosine_topk_sql(engine: str) -> str:
     """
 
 
+# NOTE: posd is referenced 3x here, but unlike the dedup queries this one
+# must stay INLINE on the Spark side: materializing via localCheckpoint
+# erases size stats (LogicalRDD), Catalyst stops broadcasting the query
+# subset, and the pos-keyed join (64 distinct keys) becomes a skewed
+# sort-merge join — measured 4x SLOWER. The recompute is a cheap
+# parquet scan; the broadcast matters more.
 _sql_query(
     "sim_cosine_topk", _cosine_topk_sql("spark"), oracle=_cosine_topk_sql("duck")
 )
