@@ -49,6 +49,7 @@ def run_queries() -> None:
     spark.sql("SELECT count(*) FROM documents").collect()
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
@@ -58,7 +59,13 @@ def run_queries() -> None:
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # second execution of the same plan: isolates analysis/codegen
+        # overhead (cold) from actual execution (warm) — at sf0.1 cold
+        # times are planning-dominated; warm is what scales with data
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {dt:.2f}s (warm {warm[name]:.2f}s)", file=sys.stderr)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -67,6 +74,7 @@ def run_queries() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -119,6 +127,8 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
     )
     runs_info = []
     for _ in range(runs):
+        time.sleep(15)  # cooldown: sustained all-core load triggers host
+        # power throttling (see run_scaling_exec / BENCH/BASELINE.md)
         st0 = _steal_ticks()
         t0 = time.time()
         out = tile_assignment(spark, synth_pages(spark, n_pages, n_parts), k=3)
