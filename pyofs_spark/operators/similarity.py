@@ -124,18 +124,22 @@ def ivf_centroids(
     n_centroids: int = 32,
     sample_mod: int = 7,
     iters: int = 12,
+    max_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Coarse quantizer for IVF: Lloyd k-means on a DETERMINISTIC sample
     (id % sample_mod == 0 — pushdown-friendly, no RNG at query time; the
     init is the first n_centroids sample rows in id order). The sample is
-    dim-sized (thousands of rows), so training is a driver-side numpy
-    loop; the full table is never collected."""
+    HARD-BOUNDED at max_sample rows: orderBy+limit executes as a
+    distributed TakeOrderedAndProject (per-partition top-k, no full sort,
+    no unbounded collect — the id filter alone would still be 10^11 rows
+    at 10^12 scale). Training is then a driver-side numpy loop."""
     rows = (
         vectors.filter(F.col(id_col) % sample_mod == 0)
         .select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(max_sample)
         .collect()
     )
     x = np.array([r[1] for r in rows], dtype=np.float64)
