@@ -84,7 +84,13 @@ class LineageLog:
 
 class Manifest:
     """Versioned snapshot manifest (single JSON per version + atomically
-    swapped `current.json` pointer). The read path's source of truth."""
+    swapped `current.json` pointer). The read path's source of truth.
+
+    Scale note: each snapshot rewrites the full partition map — O(P) per
+    commit. Partitions here are JOB buckets (hundreds), not Spark tasks;
+    for catalogs with millions of partitions Iceberg's manifest-list
+    indirection (snapshot → manifest files → data files) is the shape to
+    adopt, same pointer-swap commit."""
 
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_manifest")
