@@ -151,9 +151,11 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
     med = ordered[len(ordered) // 2]["sec"]
     # primary estimator (round 2): median of CLEAN runs — steal under 2% of
     # host capacity during the window. Robust to both slow outliers (steal
-    # bursts) and lucky fast tails; falls back to best if nothing is clean.
+    # bursts) and lucky fast tails. With ZERO clean runs the window is
+    # invalid: fall back to the overall median (never the best run — a
+    # best-case number must not masquerade as a median) and flag it.
     clean = sorted(r["sec"] for r in runs_info if r["steal_frac"] < 0.02)
-    med_clean = clean[len(clean) // 2] if clean else best
+    med_clean = clean[len(clean) // 2] if clean else med
     print(
         json.dumps(
             {
@@ -161,6 +163,7 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
                 "best_sec": best,
                 "median_clean_sec": med_clean,
                 "n_clean": len(clean),
+                "window_valid": bool(clean),
                 "pages_per_sec": round(n_pages / best, 1),
                 "pages_per_sec_median": round(n_pages / med, 1),
                 "pages_per_sec_median_clean": round(n_pages / med_clean, 1),
@@ -293,14 +296,19 @@ def run_scaling_exec(
                 pass
         ordered = sorted(fleet_runs, key=lambda r: r["makespan"])
         best = ordered[0]["makespan"]
+        med = ordered[len(ordered) // 2]["makespan"]
         clean = sorted(
             r["makespan"] for r in fleet_runs if r["steal_frac"] < 0.02
         )
-        med_clean = clean[len(clean) // 2] if clean else best
+        # zero clean runs → window invalid: report the overall median (not
+        # the best run) under the median label and flag it, so sustained
+        # contamination can't silently turn the gate into a best-case number
+        med_clean = clean[len(clean) // 2] if clean else med
         results[n_exec] = {
             "best_makespan": best,
             "median_clean_makespan": med_clean,
             "n_clean": len(clean),
+            "window_valid": bool(clean),
             "pages_per_sec_best": round(total / best, 1),
             "pages_per_sec_median_clean": round(total / med_clean, 1),
             "runs": fleet_runs,

@@ -80,13 +80,16 @@ def duckdb_compat(sql: str) -> str:
     return out
 
 
-URL_KEY_PRIME = 1_000_003
+URL_KEY_PRIME = 10_000_000_000_037  # prime ≈ 1e13
 
 
 def geocode_url_key_sql(url_col: str) -> str:
     """Nonnegative bigint working key from a url string — JVM-side only.
 
     pmod keeps it in [0, URL_KEY_PRIME); the largest later product is
-    URL_KEY_PRIME * 104729 ≈ 1.05e11, comfortably inside BIGINT (Spark 4
-    ANSI mode errors on overflow rather than wrapping)."""
+    URL_KEY_PRIME * 104729 ≈ 1.05e18 < 2^63 ≈ 9.22e18, inside BIGINT
+    (Spark 4 ANSI mode errors on overflow rather than wrapping). The ~1e13
+    modulus keeps url-key collisions negligible at 1e9+ page scale
+    (expected collisions per key ~1e-4), unlike a ~1e6 modulus which would
+    alias thousands of urls onto identical (lon, lat)."""
     return f"pmod(xxhash64({url_col}), {URL_KEY_PRIME})"

@@ -260,73 +260,6 @@ def knn_inline_arrays(
     )
 
 
-def knn_inline_scalar(
-    df: DataFrame,
-    points_rows: list[tuple[str, float, float]],
-    k: int,
-    lon: str = "lon",
-    lat: str = "lat",
-    out_prefix: str = "knn",
-) -> DataFrame:
-    """ALLOCATION-FREE map-only kNN against a literal point list — same
-    contract and (dist2, point_id) tie-break as knn_inline_arrays.
-
-    Rank-by-count formulation: rank_i = Σ_j [(d_j, j) < (d_i, i)] — pure
-    scalar comparisons that codegen keeps in registers; the slot-s winner
-    is the unique i with rank_i == s. No per-row struct array, no
-    sort_array — at ≥16 cores the struct-sort version is GC/memory-bound
-    (ParallelGC already 1.7x over G1 flagged allocation pressure as the
-    scaling limiter); this one allocates only the two k-length output
-    arrays. O(n²) comparisons beat O(n log n) alloc+sort for dim-sized n.
-    """
-    rows_sorted = sorted(points_rows, key=lambda r: r[0])
-    n = len(rows_sorted)
-    qlon, qlat = F.col(lon), F.col(lat)
-    # STAGED projections: distances, then ranks over the distance
-    # ATTRIBUTES, then winners. Inlining everything into one projection
-    # re-expands each d_i ~2n times and the single generated expression
-    # blows past janino's method limit → whole-stage falls back to
-    # interpreted. CollapseProject keeps these stages separate because the
-    # aliases are non-cheap and multiply-referenced.
-    base_cols = df.columns
-    p1 = df
-    for i, (_pid, px, py) in enumerate(rows_sorted):
-        dx = qlon - F.lit(float(px))
-        dy = qlat - F.lit(float(py))
-        p1 = p1.withColumn(f"_knd{i}", dx * dx + dy * dy)
-    d = [F.col(f"_knd{i}") for i in range(n)]
-    p2 = p1
-    for i in range(n):
-        terms = []
-        for j in range(n):
-            if j == i:
-                continue
-            # (d_j, j) < (d_i, i): strict on dist for j > i, ties won by
-            # the smaller index — identical to the struct-sort order
-            better = (d[j] < d[i]) if j > i else (d[j] <= d[i])
-            terms.append(better.cast("int"))
-        r = terms[0]
-        for t in terms[1:]:
-            r = r + t
-        p2 = p2.withColumn(f"_knr{i}", r)
-    rank = [F.col(f"_knr{i}") for i in range(n)]
-    st_cols, d_cols = [], []
-    for s in range(k):
-        st_cols.append(
-            F.coalesce(
-                *[F.when(rank[i] == s, F.lit(rows_sorted[i][0])) for i in range(n)]
-            )
-        )
-        d_cols.append(
-            F.coalesce(*[F.when(rank[i] == s, d[i]) for i in range(n)])
-        )
-    return p2.select(
-        *base_cols,
-        F.array(*st_cols).alias(f"{out_prefix}_stations"),
-        F.array(*d_cols).alias(f"{out_prefix}_dist2"),
-    )
-
-
 def nn_value_join(
     queries: DataFrame,
     points: DataFrame,

@@ -1,8 +1,12 @@
-"""Engine-native operator queries. Most are non-SQL-expressible (iterative
-advection, LSH ANN, distributed hull, streaming) — the driver records
-rows-only checks and their exactness is pytest-gated instead
+"""Engine-native operator queries. The approximate/iterative ones
+(advection, LSH/IVF ANN, streaming) are non-SQL-expressible — the driver
+records rows-only checks and their exactness is pytest-gated instead
 (tests/test_advection.py, test_regrid_similarity.py, test_hull.py).
-Exception: eng_linear_regrid carries a closed-form affine oracle (J2)."""
+The DETERMINISTIC ones carry full DuckDB oracles (round 3): linear regrid
+(closed-form affine), convex hull (O(n³) strict-hull-edge SQL), salted
+counts (plain GROUP BY equivalence), and broadcast-UDF PIP (per-polygon
+ray-cast union) — so the engine operators, not just their SQL shadows, sit
+inside the driver's correctness gate."""
 
 from __future__ import annotations
 
@@ -10,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .queries import register
+from .queries import GEODOC_DUCK, register
 
 
 @register("eng_cosine_lsh")
@@ -91,13 +95,73 @@ def eng_advect_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_metrics(traj).orderBy("step")
 
 
-@register("eng_convex_hull")
+# --- C13 convex hull, ORACLE-GATED (round 3) ---------------------------------
+# The engine runs the distributed two-level monotone-chain hull; the oracle
+# derives the same STRICT hull vertices from first principles in SQL:
+# a directed pair (a,b) is a CCW strict-hull edge iff every other point c is
+# strictly left of a→b, or exactly collinear AND strictly between a and b
+# (so collinear boundary mid-points are excluded, matching monotone_chain's
+# `cross <= 0` pop). Vertex order is the monotone-chain canonical order —
+# lexicographic-min start, lower chain (right of the min→max chord) by
+# (lon,lat) asc, then upper chain desc — reproduced with window functions.
+# Equivalence of the ordering was property-checked on 200 random clouds.
+# Doc subset (%5) keeps the O(n³) oracle cheap; the ENGINE path stays the
+# real distributed operator.
+_HULL_CROSS = "(b.lon - a.lon) * (c.lat - a.lat) - (b.lat - a.lat) * (c.lon - a.lon)"
+_HULL_ORACLE = f"""
+    WITH pts AS (
+      SELECT DISTINCT lon, lat FROM {GEODOC_DUCK} g WHERE doc_id % 5 = 0
+    ),
+    edges AS (
+      SELECT a.lon AS ax, a.lat AS ay
+      FROM pts a, pts b
+      WHERE (a.lon != b.lon OR a.lat != b.lat)
+        AND NOT EXISTS (
+          SELECT 1 FROM pts c
+          WHERE (c.lon != a.lon OR c.lat != a.lat)
+            AND (c.lon != b.lon OR c.lat != b.lat)
+            AND NOT (
+              {_HULL_CROSS} > 0.0e0
+              OR ({_HULL_CROSS} = 0.0e0
+                  AND (c.lon - a.lon) * (b.lon - a.lon)
+                      + (c.lat - a.lat) * (b.lat - a.lat) > 0.0e0
+                  AND (c.lon - b.lon) * (a.lon - b.lon)
+                      + (c.lat - b.lat) * (a.lat - b.lat) > 0.0e0)
+            )
+        )
+    ),
+    verts AS (SELECT DISTINCT ax AS lon, ay AS lat FROM edges),
+    lpt AS (SELECT lon, lat FROM verts ORDER BY lon, lat LIMIT 1),
+    rpt AS (SELECT lon, lat FROM verts ORDER BY lon DESC, lat DESC LIMIT 1),
+    chained AS (
+      SELECT v.lon, v.lat,
+             CASE WHEN v.lon = l.lon AND v.lat = l.lat THEN 0
+                  WHEN v.lon = r.lon AND v.lat = r.lat THEN 2
+                  WHEN (r.lon - l.lon) * (v.lat - l.lat)
+                       - (r.lat - l.lat) * (v.lon - l.lon) < 0.0e0 THEN 1
+                  ELSE 3 END AS chain
+      FROM verts v CROSS JOIN lpt l CROSS JOIN rpt r
+    )
+    SELECT cast(row_number() OVER (ORDER BY chain,
+             CASE WHEN chain = 3 THEN -lon ELSE lon END,
+             CASE WHEN chain = 3 THEN -lat ELSE lat END) - 1 as int) AS vertex_idx,
+           lon, lat
+    FROM chained
+"""
+
+
+@register("eng_convex_hull", _HULL_ORACLE)
 def eng_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed convex hull of the geocoded documents (SURVEY C13)."""
+    """Distributed convex hull of the geocoded documents (SURVEY C13,
+    ref: wcofs.py:1843-1891); oracle-gated (see _HULL_ORACLE)."""
     from ..operators.hull import convex_hull
     from .queries import geodocs
 
-    pts = geodocs(spark, sf_dir).select("lon", "lat")
+    pts = (
+        geodocs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("lon", "lat")
+    )
     h = convex_hull(pts)
     rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(h)]
     return spark.createDataFrame(rows, "vertex_idx int, lon double, lat double")
@@ -115,11 +179,25 @@ def eng_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eng_skew_salted_counts")
+# --- salted counts, ORACLE-GATED (round 3): the two-phase salted aggregation
+# must equal a plain GROUP BY cell — a free exactness witness for the whole
+# salting machinery (hot-cell stats pass, per-row salt, partial + final agg).
+def _salted_counts_oracle() -> str:
+    from ..functions import cells
+
+    cell6 = cells.cell_id_sql("lon", "lat", 6)
+    return f"""
+    SELECT {cell6} AS cell_id, count(*) AS cell_count
+    FROM {GEODOC_DUCK} g
+    GROUP BY 1
+    """
+
+
+@register("eng_skew_salted_counts", _salted_counts_oracle())
 def eng_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted per-cell counts over the coast-biased geocode —
-    equals the direct groupBy exactly (pytest-gated); demonstrates the
-    explicit-salting requirement of the north rule."""
+    equals the direct groupBy exactly (oracle-gated + pytest); demonstrates
+    the explicit-salting requirement of the north rule."""
     from ..functions import cells
     from ..operators.skew import salted_cell_counts
     from .queries import geodocs
@@ -178,12 +256,26 @@ def eng_linear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eng_pip_broadcast_udf")
+# --- broadcast-UDF PIP, ORACLE-GATED (round 3): ALL (doc, polygon)
+# containments; the oracle is the per-polygon unrolled ray cast union,
+# generated from the same polygon constants as the UDF's numpy ray cast.
+def _pip_all_oracle() -> str:
+    from ..functions import polygons as P
+
+    return "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, '{pid}' AS polygon_id FROM {GEODOC_DUCK} g"
+        f" WHERE {P.pip_sql('lon', 'lat', rings)}"
+        for pid, rings in P.POLYGONS.items()
+    )
+
+
+@register("eng_pip_broadcast_udf", _pip_all_oracle())
 def eng_pip_broadcast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP Path B: broadcast polygon dim table + Arrow pandas-UDF ray cast
     with cell-cover prefilter — ALL containments per point (vs the
-    priority-coalesced Path A). Pytest-gated equal to Path A restricted
-    to priority (tests/test_operators.py)."""
+    priority-coalesced Path A). Oracle-gated against the unrolled-SQL ray
+    cast union; also pytest-gated equal to Path A restricted to priority
+    (tests/test_operators.py)."""
     from ..functions import polygons as P
     from ..operators.pip import pip_join_broadcast
     from .queries import geodocs

@@ -70,14 +70,14 @@ def _rot_sql(geodoc: str) -> str:
     """
 
 
-_sql_query("geo_rotated_pole", _rot_sql(GEODOC_SPARK), _rot_sql(GEODOC_DUCK))
-
-
 # ---------------------------------------------------------------------------
-# C6 inverse — rotated-pole → geographic (unrotate) + roundtrip check
-# (ref: utilities.py:254-289 does both directions). Forward-rotate the
-# geocoded docs, then apply the inverse rotation Rz(phi)·Ry(theta) and
-# compare against the original coordinates.
+# C6 BOTH directions in one gated query (round 3: the forward-only query is
+# merged into the roundtrip one — the forward outputs rlon/rlat stay hashed
+# — freeing a slot in the driver's 50-query window for an eng_* oracle).
+# Forward: geographic → rotated pole; inverse: rotated → geographic
+# (unrotate) + roundtrip check (ref: utilities.py:254-289 does both
+# directions). Forward-rotate the geocoded docs, then apply the inverse
+# rotation Rz(phi)·Ry(theta) and compare against the original coordinates.
 # ---------------------------------------------------------------------------
 def _unrot_sql(geodoc: str) -> str:
     return f"""
@@ -110,15 +110,17 @@ def _unrot_sql(geodoc: str) -> str:
              {round6('degrees(asin(least(1.0e0, greatest(-1.0e0, z))))')} AS lat_back
       FROM r2
     )
-    SELECT u.doc_id, u.lon_back, u.lat_back,
+    SELECT u.doc_id, r.rlon, r.rlat, u.lon_back, u.lat_back,
            abs(u.lon_back - {round6('g.lon')}) < 0.001e0
              AND abs(u.lat_back - {round6('g.lat')}) < 0.001e0 AS roundtrip_ok
-    FROM unrot u JOIN {geodoc} g ON u.doc_id = g.doc_id
+    FROM unrot u
+    JOIN rot r ON u.doc_id = r.doc_id
+    JOIN {geodoc} g ON u.doc_id = g.doc_id
     """
 
 
 _sql_query(
-    "geo_rotated_pole_inverse", _unrot_sql(GEODOC_SPARK), _unrot_sql(GEODOC_DUCK)
+    "geo_rotated_pole", _unrot_sql(GEODOC_SPARK), _unrot_sql(GEODOC_DUCK)
 )
 
 # ---------------------------------------------------------------------------
@@ -148,38 +150,23 @@ def _proj_sql(geodoc: str) -> str:
 _sql_query("geo_proj_geodesy", _proj_sql(GEODOC_SPARK), _proj_sql(GEODOC_DUCK))
 
 # ---------------------------------------------------------------------------
-# C9 — datetime rounding: hour / 10-minute / day (ref: PyOFS/__init__.py:121-199)
+# C9 + C12 — datetime rounding (hour / 10-minute / day, ref:
+# PyOFS/__init__.py:121-199) MERGED with the orbit pass-time model (16-day
+# repeat-cycle arithmetic, ref: viirs.py:929-1075) into one gated query
+# (round 3: frees a slot in the driver's 50-query window for an eng_*
+# oracle) — both are per-row timestamp arithmetic over the same events
+# scan; every output column of the former two queries is kept and hashed.
 # ---------------------------------------------------------------------------
+_CYCLE_S = 16 * 86400
 _sql_query(
     "time_rounding",
-    """
+    f"""
     SELECT event_id, ts,
            date_trunc('hour', ts) AS ts_hour,
            cast(date_trunc('day', ts) as date) AS ts_day,
            date_trunc('hour', ts)
              + make_interval(0, 0, 0, 0, 0,
-                 cast(floor(minute(ts) / 10.0e0) as int) * 10, 0.0e0) AS ts_10min
-    FROM events WHERE event_id % 25 = 0
-    """,
-    """
-    SELECT event_id, ts,
-           date_trunc('hour', ts) AS ts_hour,
-           cast(date_trunc('day', ts) as date) AS ts_day,
-           date_trunc('hour', ts)
-             + to_minutes(cast(floor(minute(ts) / 10.0e0) as bigint) * 10) AS ts_10min
-    FROM events WHERE event_id % 25 = 0
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# C12 — orbit pass-time model: 16-day repeat cycle arithmetic
-# (ref: viirs.py:929-1075 store_viirs_pass_times / get_pass_times)
-# ---------------------------------------------------------------------------
-_CYCLE_S = 16 * 86400
-_sql_query(
-    "orbit_pass_times",
-    f"""
-    SELECT event_id, ts,
+                 cast(floor(minute(ts) / 10.0e0) as int) * 10, 0.0e0) AS ts_10min,
            TIMESTAMP '2024-01-01 00:00:00'
              + make_interval(0, 0, 0, 0, 0, 0,
                  cast((unix_timestamp(ts) - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00'))
@@ -187,16 +174,20 @@ _sql_query(
            cast(floor((unix_timestamp(ts)
                  - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')) / {_CYCLE_S}.0e0)
                 as bigint) AS cycle_idx
-    FROM events WHERE event_id % 25 = 3
+    FROM events WHERE event_id % 25 IN (0, 3)
     """,
     f"""
     SELECT event_id, ts,
+           date_trunc('hour', ts) AS ts_hour,
+           cast(date_trunc('day', ts) as date) AS ts_day,
+           date_trunc('hour', ts)
+             + to_minutes(cast(floor(minute(ts) / 10.0e0) as bigint) * 10) AS ts_10min,
            TIMESTAMP '2024-01-01 00:00:00'
              + to_seconds(cast(floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00')) as bigint)
                           % {_CYCLE_S}) AS cycle_phase_time,
            cast(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / {_CYCLE_S}.0e0)
                 as bigint) AS cycle_idx
-    FROM events WHERE event_id % 25 = 3
+    FROM events WHERE event_id % 25 IN (0, 3)
     """,
 )
 
