@@ -1,11 +1,19 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing with REAL decoders.
 
 Binary payloads ride as opaque `binary` columns with typed metadata structs;
 all heavy kernels are Arrow-batched `mapInPandas` stages so bytes never
-round-trip through per-row Python. The DECODE step is stubbed (no
-image/audio libs in this container — marked clearly below); everything
-around it — schema, batching, partition sizing, deterministic fake
-features — is real and tested (tests/test_multimodal.py).
+round-trip through per-row Python objects.
+
+The decode step is REAL (round 3 — no longer a stub) for three standard
+UNCOMPRESSED formats that need no codec library, parsed in pure numpy:
+
+- image: PPM binary (P6) — `P6\\n{w} {h}\\n255\\n` + raw RGB triples
+- audio: WAV (RIFF, PCM16) — fmt + data chunks, mono/stereo int16
+- video: Y4M (YUV4MPEG2, C444) — text header + `FRAME\\n` + raw 4:4:4 planes
+
+Compressed formats (JPEG/FLAC/H.264) would swap in PIL/libsndfile/ffmpeg
+behind the same `decode_media` signature; the Spark-side plumbing (schema,
+Arrow batching, partition sizing) is format-agnostic and unchanged.
 
 Design for 100 TB: binary columns dominate scan cost → metadata-only
 queries must never touch them (column pruning does this for free when the
@@ -21,7 +29,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -55,40 +62,197 @@ FEATURE_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 16
+_AUDIO_RATE = 8000
+_VIDEO_FPS = 25
 
 
-def synth_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from media_id."""
-    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    df = spark.range(0, n_rows, 1, partitions).withColumnRenamed("id", "media_id")
-    return df.select(
-        "media_id",
-        F.element_at(kinds, (F.pmod("media_id", F.lit(3)) + 1).cast("int")).alias("kind"),
-        F.encode(
-            F.concat(F.lit("PAYLOAD:"), F.sha2(F.col("media_id").cast("string"), 256)),
-            "utf-8",
-        ).cast("binary").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        (F.pmod("media_id", F.lit(1024)) + 16).alias("width"),
-        (F.pmod(F.col("media_id") * 7, F.lit(768)) + 16).alias("height"),
-        (F.pmod(F.col("media_id") * 13, F.lit(60000))).alias("duration_ms"),
+# ---------------------------------------------------------------------------
+# Encoders (used by the synthetic fixture generator; also round-trip-tested)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = _AUDIO_RATE) -> bytes:
+    """(n,) or (n, ch) int16 → RIFF/WAVE PCM16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    assert samples.dtype == np.int16
+    data = samples.tobytes()  # interleaved little-endian
+    byte_rate = rate * ch * 2
+
+    def u32(x: int) -> bytes:
+        return int(x).to_bytes(4, "little")
+
+    def u16(x: int) -> bytes:
+        return int(x).to_bytes(2, "little")
+
+    fmt = b"fmt " + u32(16) + u16(1) + u16(ch) + u32(rate) + u32(byte_rate) \
+        + u16(ch * 2) + u16(16)
+    body = b"WAVE" + fmt + b"data" + u32(len(data)) + data
+    return b"RIFF" + u32(len(body)) + body
+
+
+def encode_y4m(frames: np.ndarray, fps: int = _VIDEO_FPS) -> bytes:
+    """(n, h, w, 3) uint8 (YUV interpretation) → YUV4MPEG2 C444 stream."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    out = [head]
+    for f in range(n):
+        # planar: full Y plane, then U, then V (4:4:4 — no subsampling)
+        out.append(b"FRAME\n")
+        out.append(frames[f].transpose(2, 0, 1).tobytes())
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoders (pure numpy — no codec libraries)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Handles comment lines and
+    arbitrary whitespace in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval (comments start with #)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i).reshape(
+        h, w, 3
     )
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → ((n, ch) int16, sample_rate). Walks chunks, so
+    extra chunks (LIST/fact) before `data` are handled."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, ch, rate, bits = 12, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            if ch is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            samples = np.frombuffer(body, dtype="<i2").reshape(-1, ch)
+            return samples, rate
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV data chunk missing")
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 C444 → (n_frames, h, w, 3) uint8."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode()
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = dict((p[0], p[1:]) for p in head.split()[1:])
+    if params.get("C", "444") != "444":
+        raise ValueError(f"unsupported Y4M chroma C{params.get('C')}")
+    w, h = int(params["W"]), int(params["H"])
+    frame_bytes = 3 * w * h
+    frames = []
+    i = nl + 1
+    while i < len(payload):
+        fnl = payload.index(b"\n", i)
+        if payload[i:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        i = fnl + 1
+        planar = np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=i)
+        frames.append(planar.reshape(3, h, w).transpose(1, 2, 0))
+        i += frame_bytes
+    return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (real pixel/sample statistics, FEATURE_DIM floats)
+# ---------------------------------------------------------------------------
+
+
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """REAL DECODE STUB — image/audio codecs are not installed in this
-    container. Production swaps this single function for PIL/libsndfile/
-    ffmpeg; the Spark-side plumbing is unchanged. Here: a deterministic
-    fake 'decode' = sha256-seeded feature vector, so tests are exact."""
-    digest = hashlib.sha256(payload).digest()
-    arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
-    return arr / 65535.0
+    """Decode + featurize one payload → FEATURE_DIM float32.
+
+    Layout (zero-padded to FEATURE_DIM; slots 0-5 are uniform across kinds:
+    [kind_code, dim1, dim2, dim3, mean, std] so downstream queries can read
+    mean/std without branching on kind):
+    - image: [1, h, w, 3, mean, std, min, max, meanR, meanG, meanB,
+              median, row-gradient, col-gradient]
+    - audio: [2, n_samples, channels, rate, mean, std, rms, peak,
+              zero_crossings, median|x|]
+    - video: [3, n_frames, h, w, mean, std, first-frame mean,
+              last-frame mean, mean |inter-frame diff|]
+    """
+    if kind == "image":
+        px = decode_ppm(payload).astype(np.float64)
+        f = [
+            1.0, px.shape[0], px.shape[1], 3.0,
+            px.mean(), px.std(), px.min(), px.max(),
+            px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+            float(np.median(px)),
+            float(np.abs(np.diff(px.mean(axis=(1, 2)))).mean()) if px.shape[0] > 1 else 0.0,
+            float(np.abs(np.diff(px.mean(axis=(0, 2)))).mean()) if px.shape[1] > 1 else 0.0,
+        ]
+    elif kind == "audio":
+        samples, rate = decode_wav(payload)
+        x = samples.astype(np.float64)
+        f = [
+            2.0, samples.shape[0], samples.shape[1], rate,
+            x.mean(), x.std(),
+            float(np.sqrt((x * x).mean())), float(np.abs(x).max()),
+            float((np.diff(np.signbit(x[:, 0]).astype(np.int8)) != 0).sum()),
+            float(np.median(np.abs(x))),
+        ]
+    elif kind == "video":
+        fr = decode_y4m(payload).astype(np.float64)
+        f = [
+            3.0, fr.shape[0], fr.shape[1], fr.shape[2],
+            fr.mean(), fr.std(),
+            fr[0].mean(), fr[-1].mean(),
+            float(np.abs(np.diff(fr, axis=0)).mean()) if fr.shape[0] > 1 else 0.0,
+        ]
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[: len(f)] = np.asarray(f, dtype=np.float32)
+    return out
 
 
 def extract_features(media: DataFrame, batch_target_rows: int = 1024) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches of binary payloads →
     (sha256, size, feature[FEATURE_DIM]). The per-batch loop is numpy/
-    hashlib over the Arrow buffer — no Spark-row Python objects."""
+    hashlib over the Arrow buffers — no Spark-row Python objects."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,10 +275,64 @@ def extract_features(media: DataFrame, batch_target_rows: int = 1024) -> DataFra
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Synthetic fixture: REAL encoded payloads, deterministic per media_id
+# ---------------------------------------------------------------------------
+
+
+def _synth_payload(media_id: int, kind: str) -> tuple[bytes, str, int, int, int]:
+    """(payload, mime, width, height, duration_ms) for one id — arithmetic
+    pixel/sample patterns, no RNG, so re-generation is exactly stable."""
+    if kind == "image":
+        w, h = 16 + media_id % 16, 16 + (media_id * 7) % 12
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((x * 3 + y * 5 + c * 11 + media_id) % 256).astype(np.uint8)
+        return encode_ppm(px), "image/x-portable-pixmap", w, h, 0
+    if kind == "audio":
+        n = 256 + media_id % 256
+        i = np.arange(n)
+        wave = (((media_id + i * 13) % 2048 - 1024) * 16).astype(np.int16)
+        return (
+            encode_wav(wave, _AUDIO_RATE),
+            "audio/wav", 0, 0, int(n * 1000 / _AUDIO_RATE),
+        )
+    if kind == "video":
+        nf = 2 + media_id % 3
+        w, h = 8 + media_id % 8, 8 + (media_id * 3) % 8
+        f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+        fr = ((f * 17 + x * 3 + y * 5 + c * 7 + media_id) % 256).astype(np.uint8)
+        return (
+            encode_y4m(fr, _VIDEO_FPS),
+            "video/x-yuv4mpeg", w, h, int(nf * 1000 / _VIDEO_FPS),
+        )
+    raise ValueError(kind)
+
+
+def synth_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """Deterministic media table with REAL PPM/WAV/Y4M payloads, generated
+    distributed (mapInPandas over a range — no driver-side bytes)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                kind = kinds[int(mid) % 3]
+                payload, mime, w, h, dur = _synth_payload(int(mid), kind)
+                rows.append((int(mid), kind, payload, mime, w, h, dur))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(_gen, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled frame timestamp
-    (the decode of each frame is the stub above). Pure Spark: sequence +
-    explode — demonstrates the fan-out shape without the codec."""
+    (decode of a single frame = decode_y4m + index). Pure Spark: sequence +
+    explode — the fan-out shape; frames are indexed, not re-encoded."""
+    from pyspark.sql import functions as F
+
     return (
         media.filter(F.col("kind") == "video")
         .withColumn(

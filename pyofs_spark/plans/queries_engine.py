@@ -169,13 +169,20 @@ def eng_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("eng_media_features")
 def eng_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: mapInPandas feature extraction over binary
-    payloads (decode stubbed deterministically)."""
+    """Multimodal pipeline: mapInPandas feature extraction over binary
+    payloads with REAL pure-numpy decode (PPM/WAV/Y4M, round 3) — the
+    exposed mean/std columns are actual pixel/sample statistics
+    (golden-byte decode tests: tests/test_multimodal_codecs.py)."""
     from ..operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 500, 8)
     return extract_features(media).select(
-        "media_id", "kind", "payload_sha256", "payload_bytes"
+        "media_id",
+        "kind",
+        "payload_sha256",
+        "payload_bytes",
+        F.element_at("feature", 5).alias("f_mean"),
+        F.element_at("feature", 6).alias("f_std"),
     )
 
 
