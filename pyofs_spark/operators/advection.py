@@ -198,6 +198,67 @@ def track_contour(
     return out
 
 
+def track_contour_grouped(
+    spark: SparkSession,
+    vertices: DataFrame,
+    field: FieldFn,
+    t0: float,
+    dt: float,
+    n_steps: int,
+    order: int = 4,
+) -> DataFrame:
+    """LONG-HORIZON advection shape: the whole step loop runs INSIDE one
+    applyInPandas group per contour (state carried in numpy between steps),
+    so the job is ONE shuffle total and the plan is O(1) in n_steps — vs
+    track_contour's driver loop whose unioned plan grows linearly with the
+    horizon (fine at reference-scale step counts, wrong at hundreds+).
+
+    Per-step math is the identical elementwise numpy RK evaluation as
+    rk_step, so the two shapes agree bit-for-bit (pytest-pinned:
+    tests/test_advection.py::test_grouped_equals_driver_loop). Use this
+    when n_steps ≫ 100 or contour count ≫ cores; use the driver loop when
+    a horizon must be inspected/checkpointed incrementally. Contours are
+    small by contract (vertex lists fit a group); fields ride the closure
+    exactly as in rk_step."""
+    stages, weights = _RK_TABLEAU[order]
+
+    def _track(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vertex_idx")
+        cid = pdf["contour_id"].to_numpy(dtype=np.float64)
+        vid = pdf["vertex_idx"].to_numpy(dtype=np.float64)
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        frames = [(0, x, y)]
+        for s in range(1, n_steps + 1):
+            t = t0 + (s - 1) * dt
+            ks: list[tuple[np.ndarray, np.ndarray]] = []
+            for c in stages:
+                if not ks:
+                    px, py = x, y
+                else:
+                    kx, ky = ks[-1]
+                    px, py = x + c * dt * kx, y + c * dt * ky
+                ks.append(field(px, py, t + c * dt))
+            x = x + dt * sum(w * k[0] for w, k in zip(weights, ks))
+            y = y + dt * sum(w * k[1] for w, k in zip(weights, ks))
+            frames.append((s, x, y))
+        return pd.concat(
+            pd.DataFrame(
+                {"step": s, "contour_id": cid, "vertex_idx": vid, "x": fx, "y": fy}
+            )
+            for s, fx, fy in frames
+        )
+
+    return (
+        vertices.select("contour_id", "vertex_idx", "x", "y")
+        .groupBy("contour_id")
+        .applyInPandas(
+            _track,
+            "step int, contour_id double, vertex_idx double, x double, y double",
+        )
+    )
+
+
 def circle_contour(
     spark: SparkSession,
     contour_id: float,

@@ -71,6 +71,29 @@ def test_respace_preserves_shape(spark):
     assert seg.std() / seg.mean() < 0.05
 
 
+def test_grouped_equals_driver_loop(spark):
+    """The long-horizon shape (whole step loop inside one applyInPandas
+    group per contour — one shuffle, O(1) plan) must agree bit-for-bit with
+    the driver loop: the per-step math is the same elementwise numpy RK."""
+    from pyofs_spark.operators.advection import track_contour_grouped
+
+    field = rankine_vortex(0.0, 0.0, 10_000.0, 1.0)
+    seeds = circle_contour(spark, 1.0, 4_000.0, 0.0, 2_000.0, n_vertices=16).unionByName(
+        circle_contour(spark, 2.0, -3_000.0, 1_000.0, 1_500.0, n_vertices=16)
+    )
+    a = track_contour(spark, seeds, field, 0.0, 60.0, 25, order=4).toPandas()
+    b = track_contour_grouped(spark, seeds, field, 0.0, 60.0, 25, order=4).toPandas()
+    key = ["contour_id", "step", "vertex_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == 2 * 16 * 26
+    np.testing.assert_array_equal(a["x"].to_numpy(), b["x"].to_numpy())
+    np.testing.assert_array_equal(a["y"].to_numpy(), b["y"].to_numpy())
+    # long horizon smoke: 400 steps in one pass, plan stays O(1)
+    long = track_contour_grouped(spark, seeds, field, 0.0, 60.0, 400, order=2)
+    assert long.filter("step = 400").count() == 32
+
+
 def test_gridded_field_matches_analytic(spark):
     """grid_field (bilinear space + linear time interp, the reference's
     per-RK-stage composition) reproduces the analytic trajectory when the
