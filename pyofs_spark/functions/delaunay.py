@@ -69,15 +69,35 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     return np.array(out, dtype=np.int64).reshape(-1, 3)
 
 
+def circumcircle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> tuple[float, float, float]:
+    """Circumcenter + radius of triangle (a, b, c)."""
+    d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+    if abs(d) < 1e-300:
+        return np.nan, np.nan, np.inf
+    a2, b2, c2 = a @ a, b @ b, c @ c
+    ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
+    uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
+    return ux, uy, float(np.hypot(a[0] - ux, a[1] - uy))
+
+
 def linear_interp_scattered(
     slon: np.ndarray,
     slat: np.ndarray,
     sval: np.ndarray,
     qlon: np.ndarray,
     qlat: np.ndarray,
-) -> np.ndarray:
+    return_certificates: bool = False,
+):
     """griddata('linear') semantics: NaN sources dropped, Delaunay over the
-    rest, barycentric interp per query, NaN outside the convex hull."""
+    rest, barycentric interp per query, NaN outside the convex hull.
+
+    With return_certificates=True additionally returns (cc_x, cc_y, cc_r):
+    the circumcircle of each query's containing triangle (inf radius when
+    no triangle contains the query). Used by the adaptive tiled operator —
+    by the Delaunay empty-circle property, a local triangle whose
+    circumcircle lies inside the region whose points were all present
+    locally is a triangle of the GLOBAL Delaunay triangulation, so the
+    interpolated value is certified globally correct."""
     slon = np.asarray(slon, np.float64).ravel()
     slat = np.asarray(slat, np.float64).ravel()
     sval = np.asarray(sval, np.float64).ravel()
@@ -86,16 +106,24 @@ def linear_interp_scattered(
     V = sval[keep]
     q = np.column_stack([np.asarray(qlon, np.float64).ravel(), np.asarray(qlat, np.float64).ravel()])
     out = np.full(len(q), np.nan)
+    ccx = np.full(len(q), np.nan)
+    ccy = np.full(len(q), np.nan)
+    ccr = np.full(len(q), np.inf)
+
+    def _ret():
+        return (out, ccx, ccy, ccr) if return_certificates else out
+
     if len(P) < 3:
-        return out
+        return _ret()
     # dedupe identical coordinates (keep first, matching griddata's qhull)
     _, uniq_idx = np.unique(P, axis=0, return_index=True)
     uniq_idx.sort()
     P, V = P[uniq_idx], V[uniq_idx]
     if len(P) < 3:
-        return out
+        return _ret()
     tris = delaunay(P)
     eps = 1e-10
+    unassigned = np.ones(len(q), dtype=bool)
     for t in tris:
         a, b, c = P[t[0]], P[t[1]], P[t[2]]
         den = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
@@ -104,8 +132,12 @@ def linear_interp_scattered(
         w1 = ((b[1] - c[1]) * (q[:, 0] - c[0]) + (c[0] - b[0]) * (q[:, 1] - c[1])) / den
         w2 = ((c[1] - a[1]) * (q[:, 0] - c[0]) + (a[0] - c[0]) * (q[:, 1] - c[1])) / den
         w3 = 1.0 - w1 - w2
-        inside = (w1 >= -eps) & (w2 >= -eps) & (w3 >= -eps) & np.isnan(out)
+        inside = (w1 >= -eps) & (w2 >= -eps) & (w3 >= -eps) & unassigned
         out[inside] = (
             w1[inside] * V[t[0]] + w2[inside] * V[t[1]] + w3[inside] * V[t[2]]
         )
-    return out
+        if return_certificates and inside.any():
+            cx, cy, r = circumcircle(a, b, c)
+            ccx[inside], ccy[inside], ccr[inside] = cx, cy, r
+        unassigned &= ~inside
+    return _ret()

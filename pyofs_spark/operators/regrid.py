@@ -213,6 +213,182 @@ def regrid_linear_join(
     )
 
 
+def regrid_linear_adaptive(
+    spark: SparkSession,
+    sources: DataFrame,
+    targets: DataFrame,
+    value_col: str = "value",
+    tile_res: int = 4,
+    source_key: str = "point_id",
+    target_key: str = "query_id",
+    max_passes: int = 3,
+) -> DataFrame:
+    """Scattered LINEAR regrid that is exact near DATA VOIDS (round 3 —
+    closes the known tile-local-vs-global divergence gap).
+
+    Certified adaptive-halo protocol:
+
+    1. Run the tiled pass with halo = n rings, asking the kernel for each
+       query's containing-triangle CIRCUMCIRCLE. By the Delaunay
+       empty-circle property, if that circle lies entirely inside the
+       region whose points were all replicated into the tile (tile bbox +
+       halo), then no point anywhere in the global set can invalidate the
+       triangle — it IS a global Delaunay triangle and the value is
+       certified globally correct.
+    2. Uncertified queries (circle pokes outside the halo region, or no
+       containing triangle locally) retry with the halo DOUBLED — only
+       tiles that still have pending queries receive source replicas
+       (semi-join), so later passes touch a shrinking fraction of data.
+    3. The residue after max_passes (typically queries outside/near the
+       global hull or across extreme voids) falls back to ONE global
+       gather group — the correctness backstop; by then it is tiny.
+
+    Result matches the single-shot global triangulation everywhere (up to
+    Delaunay diagonal ambiguity on exactly-cocircular quads, where both
+    answers are valid triangulations — same caveat as scipy/qhull).
+    Ref analog: data_assimilation_validation.py:149-207 (global griddata).
+    """
+    from ..functions import cells as C
+    from ..functions.delaunay import linear_interp_scattered
+
+    size = C.cell_size_deg(tile_res)
+    nx_t = C.nx(tile_res)
+    ny_t = C.ny(tile_res)
+    src0 = sources.filter(F.col(value_col).isNotNull()).select(
+        "lon", "lat", F.col(value_col).alias("_v")
+    )
+    remaining = targets.select(
+        F.col(target_key).cast("long").alias("_qid"), "lon", "lat"
+    )
+    done: list[DataFrame] = []
+    n_halo = 1
+    for _p in range(max_passes):
+        halo_deg = n_halo * size
+        tgt = remaining.withColumn(
+            "_tile", F.expr(C.cell_id_sql("lon", "lat", tile_res))
+        )
+        live_tiles = tgt.select("_tile").distinct()
+        offsets = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in C.disk_offsets(n_halo)
+            ]
+        )
+        src = (
+            src0.withColumn("_cx", F.expr(C.cell_x_sql("lon", tile_res)))
+            .withColumn("_cy", F.expr(C.cell_y_sql("lat", tile_res)))
+            .withColumn("_o", F.explode(offsets))
+            .select(
+                "lon",
+                "lat",
+                "_v",
+                (
+                    F.least(
+                        F.lit(ny_t - 1),
+                        F.greatest(F.lit(0), F.col("_cy") + F.col("_o.dy")),
+                    )
+                    * nx_t
+                    + F.pmod(F.col("_cx") + F.col("_o.dx") + nx_t, F.lit(nx_t))
+                ).alias("_tile"),
+            )
+            # replicate only into tiles that still have pending queries
+            .join(live_tiles, "_tile", "left_semi")
+        )
+        both = tgt.select(
+            "_tile",
+            F.lit(None).cast("double").alias("_v"),
+            F.col("_qid"),
+            "lon",
+            "lat",
+            F.lit(True).alias("_is_q"),
+        ).unionByName(
+            src.select(
+                "_tile",
+                "_v",
+                F.lit(None).cast("long").alias("_qid"),
+                "lon",
+                "lat",
+                F.lit(False).alias("_is_q"),
+            )
+        )
+
+        def _make_interp(_halo: float):
+            def _interp(key, pdf):  # (key, data) grouped-map form
+                tile = int(key[0])
+                tx, ty = tile % nx_t, tile // nx_t
+                x0, y0 = -180.0 + tx * size, -90.0 + ty * size
+                lo_x, hi_x = x0 - _halo, x0 + size + _halo
+                lo_y, hi_y = y0 - _halo, y0 + size + _halo
+                qs = pdf[pdf["_is_q"]]
+                ss = pdf[~pdf["_is_q"]]
+                if len(qs) == 0:
+                    return pd.DataFrame({"_qid": [], "_val": [], "_ok": []})
+                vals, ccx, ccy, ccr = linear_interp_scattered(
+                    ss["lon"].to_numpy(),
+                    ss["lat"].to_numpy(),
+                    ss["_v"].to_numpy(),
+                    qs["lon"].to_numpy(),
+                    qs["lat"].to_numpy(),
+                    return_certificates=True,
+                )
+                x_ok = ((ccx - ccr >= lo_x) & (ccx + ccr <= hi_x)) | (
+                    hi_x - lo_x >= 360.0
+                )
+                y_ok = ((ccy - ccr >= lo_y) | (lo_y <= -90.0)) & (
+                    (ccy + ccr <= hi_y) | (hi_y >= 90.0)
+                )
+                ok = (~np.isnan(vals)) & x_ok & y_ok
+                return pd.DataFrame(
+                    {"_qid": qs["_qid"].to_numpy(), "_val": vals, "_ok": ok}
+                )
+
+            return _interp
+
+        res = (
+            both.groupBy("_tile")
+            .applyInPandas(
+                _make_interp(halo_deg), "_qid long, _val double, _ok boolean"
+            )
+            .localCheckpoint(eager=False)
+        )
+        done.append(res.filter(F.col("_ok")).select("_qid", "_val"))
+        remaining = remaining.join(
+            res.filter(~F.col("_ok")).select("_qid"), "_qid", "left_semi"
+        )
+        n_halo *= 2
+
+    # global backstop for the residue: one gather group, plain interp
+    def _global(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["_is_q"]]
+        ss = pdf[~pdf["_is_q"]]
+        if len(qs) == 0:
+            return pd.DataFrame({"_qid": [], "_val": []})
+        vals = linear_interp_scattered(
+            ss["lon"].to_numpy(), ss["lat"].to_numpy(), ss["_v"].to_numpy(),
+            qs["lon"].to_numpy(), qs["lat"].to_numpy(),
+        )
+        return pd.DataFrame({"_qid": qs["_qid"].to_numpy(), "_val": vals})
+
+    gboth = remaining.select(
+        F.lit(0).alias("_g"), F.col("_qid"), "lon", "lat",
+        F.lit(None).cast("double").alias("_v"), F.lit(True).alias("_is_q"),
+    ).unionByName(
+        src0.select(
+            F.lit(0).alias("_g"), F.lit(None).cast("long").alias("_qid"),
+            "lon", "lat", "_v", F.lit(False).alias("_is_q"),
+        )
+    )
+    done.append(
+        gboth.groupBy("_g").applyInPandas(_global, "_qid long, _val double")
+    )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        F.col("_qid").alias(target_key), F.col("_val").alias(value_col)
+    )
+
+
 def asof_time_align(
     queries: DataFrame,
     field: DataFrame,
