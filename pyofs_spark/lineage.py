@@ -83,51 +83,95 @@ class LineageLog:
 
 
 class Manifest:
-    """Versioned snapshot manifest (single JSON per version + atomically
-    swapped `current.json` pointer). The read path's source of truth.
+    """Versioned snapshot with MANIFEST-LIST INDIRECTION (round 3 — the
+    Iceberg shape: snapshot → manifest files → partition entries), so a
+    commit is O(P / n_buckets + n_buckets), NOT O(total partitions).
 
-    Scale note: each snapshot rewrites the full partition map — O(P) per
-    commit. Partitions here are JOB buckets (hundreds), not Spark tasks;
-    for catalogs with millions of partitions Iceberg's manifest-list
-    indirection (snapshot → manifest files → data files) is the shape to
-    adopt, same pointer-swap commit."""
+    Layout: partition keys hash into `n_buckets` fixed buckets; each bucket
+    is one immutable manifest file `m{version}_b{bucket}.json` holding that
+    bucket's {part_key: entry} map. A snapshot `v{N}.json` is the manifest
+    LIST — {bucket: filename} — plus version metadata; `current.json` is
+    the atomically swapped pointer copy. A commit rewrites exactly ONE
+    bucket manifest (~P/n_buckets entries) and one snapshot file
+    (n_buckets names): with n_buckets ≈ √P both terms stay small and flat
+    (tested flat at 10⁴ partitions, tests/test_lineage_skew.py).
 
-    def __init__(self, root: str):
+    Write order: bucket manifest first, then snapshot file, then pointer
+    swap — a crash between any two leaves current.json at the previous
+    snapshot (immutable files are never mutated), so readers never see a
+    partial commit. Every v{N}.json on disk resolves through its own
+    manifest list: time travel works. On real Iceberg the pointer swap is
+    a catalog CAS; this single-driver stand-in asserts the expected parent
+    version (version-file collision guard) to surface lost-update races."""
+
+    def __init__(self, root: str, n_buckets: int = 128):
         self.dir = os.path.join(root, "_manifest")
         os.makedirs(self.dir, exist_ok=True)
         self.current_path = os.path.join(self.dir, "current.json")
+        self.n_buckets = n_buckets
+        self.last_commit_bytes = 0  # commit-cost telemetry (tested flat)
 
-    def current(self) -> dict:
+    def _bucket(self, part_key: str) -> int:
+        import hashlib as _h
+
+        return int.from_bytes(
+            _h.sha1(part_key.encode()).digest()[:4], "big"
+        ) % self.n_buckets
+
+    def _read(self, name: str) -> dict:
+        with open(os.path.join(self.dir, name)) as fh:
+            return json.load(fh)
+
+    def current_snapshot(self) -> dict:
         if not os.path.exists(self.current_path):
-            return {"version": 0, "partitions": {}}
+            return {"version": 0, "manifests": {}}
         with open(self.current_path) as fh:
             return json.load(fh)
 
+    def resolve(self, snap: dict) -> dict[str, dict]:
+        """Full partition map of a snapshot (reads every listed manifest —
+        the read path is O(P), as any full-catalog scan must be)."""
+        parts: dict[str, dict] = {}
+        for name in snap["manifests"].values():
+            parts.update(self._read(name))
+        return parts
+
+    def current(self) -> dict:
+        snap = self.current_snapshot()
+        return {"version": snap["version"], "partitions": self.resolve(snap)}
+
     def commit(self, part_key: str, entry: dict) -> dict:
         """Publish a new snapshot with `part_key` → entry added/replaced.
-
-        Write order: full snapshot file first (v{N}.json, kept as history
-        for time travel/debugging), then atomic pointer swap. A crash
-        between the two leaves current.json at the previous snapshot —
-        readers never see a partial commit."""
-        snap = self.current()
+        Cost: one bucket manifest + one snapshot file."""
+        snap = self.current_snapshot()
         version = snap["version"] + 1
-        parts = dict(snap["partitions"])
-        parts[part_key] = entry
-        new = {
-            "version": version,
-            "parent_version": snap["version"],
-            "partitions": parts,
-        }
         vpath = os.path.join(self.dir, f"v{version}.json")
         if os.path.exists(vpath):  # lost-update guard (single-writer contract)
             raise RuntimeError(f"manifest version collision at v{version}")
+        b = self._bucket(part_key)
+        bucket_map = (
+            self._read(snap["manifests"][str(b)])
+            if str(b) in snap["manifests"]
+            else {}
+        )
+        bucket_map[part_key] = entry
+        mname = f"m{version}_b{b}.json"
+        with open(os.path.join(self.dir, mname), "w") as fh:
+            mbytes = fh.write(json.dumps(bucket_map))
+        manifests = dict(snap["manifests"])
+        manifests[str(b)] = mname
+        new = {
+            "version": version,
+            "parent_version": snap["version"],
+            "manifests": manifests,
+        }
         with open(vpath, "w") as fh:
-            json.dump(new, fh)
+            vbytes = fh.write(json.dumps(new))
         tmp = os.path.join(self.dir, ".current.tmp")
         with open(tmp, "w") as fh:
             json.dump(new, fh)
         os.replace(tmp, self.current_path)  # atomic snapshot swap
+        self.last_commit_bytes = mbytes + vbytes
         return new
 
 

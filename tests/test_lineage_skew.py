@@ -227,3 +227,31 @@ def test_size_ordered_scheduling(spark):
         assert r2["ran"] == [] and set(r2["skipped"]) == set(keys)
     finally:
         shutil.rmtree(d)
+
+
+def test_manifest_commit_cost_flat_at_1e4_partitions():
+    """Manifest-list indirection (round 3): committing the 10,000th
+    partition costs the same order as committing the 100th — one bucket
+    manifest (~P/n_buckets entries) + one snapshot file (n_buckets names),
+    never a full O(P) partition-map rewrite."""
+    from pyofs_spark.lineage import Manifest
+
+    d = tempfile.mkdtemp()
+    try:
+        m = Manifest(d, n_buckets=128)
+        costs = {}
+        for i in range(10_000):
+            m.commit(f"bucket_{i}", {"n_rows": i, "path": f"part_key=bucket_{i}"})
+            if i in (99, 999, 9_999):
+                costs[i] = m.last_commit_bytes
+        # resolution still exact
+        cur = m.current()
+        assert cur["version"] == 10_000
+        assert len(cur["partitions"]) == 10_000
+        assert cur["partitions"]["bucket_1234"]["n_rows"] == 1234
+        # flat cost: the 10,000th commit is within 4x of the 100th and far
+        # below a full-map rewrite (10^4 entries ~ 700 KB at these sizes)
+        assert costs[9_999] < 4 * max(costs[99], 4096)
+        assert costs[9_999] < 64_000
+    finally:
+        shutil.rmtree(d)
