@@ -11,6 +11,7 @@ floor-rounded to 6 decimals BEFORE ranking with a vec_id tie-break.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import register_views
 from .queries import register
@@ -432,15 +433,26 @@ def _cosine_topk_sql(engine: str) -> str:
     """
 
 
-# NOTE: posd is referenced 3x here, but unlike the dedup queries this one
-# must stay INLINE on the Spark side: materializing via localCheckpoint
-# erases size stats (LogicalRDD), Catalyst stops broadcasting the query
-# subset, and the pos-keyed join (64 distinct keys) becomes a skewed
-# sort-merge join — measured 4x SLOWER. The recompute is a cheap
-# parquet scan; the broadcast matters more.
-_sql_query(
-    "sim_cosine_topk", _cosine_topk_sql("spark"), oracle=_cosine_topk_sql("duck")
-)
+# Round 3: the Spark side now runs the ENGINE operator (broadcast queries +
+# one numpy einsum per Arrow batch + window top-k, operators/similarity.py)
+# instead of the portable posexplode-join SQL twin. The SQL form joins on
+# `pos` — 64 distinct keys — so its shuffle carries |Q|·|C|·dim rows:
+# measured 137 s at sf1 (vs 2.4 s at sf0.1 — quadratic, not noise), while
+# the einsum path does the same FLOPs vectorized in ~1 s. The oracle keeps
+# the brute-force SQL (independent formulation); both floor-round cosines
+# to 6 decimals before the (cosine desc, cid) rank, so parity is exact.
+
+
+def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_bruteforce
+    from ..sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_bruteforce(vecs, queries, k=_COS_K, dim=64)
+
+
+register("sim_cosine_topk", _cosine_topk_sql("duck"))(_sim_cosine_topk)
 
 # ---------------------------------------------------------------------------
 # Embedding stats per label (norm distribution — exercises array ops + agg)
