@@ -101,3 +101,84 @@ def dir_index_json(path: str) -> str:
 
 def read_tiles(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# REAL file-format exports (round 3): GeoTIFF / NetCDF-3 / GeoPackage via
+# the pure-stdlib writers in geotiff.py / netcdf3.py / gpkg.py. One raster
+# per (variable, day) is dimension-sized (exactly the reference's per-day
+# export unit, wcofs.py:645-711), so the grid assembly is a driver-side
+# collect; the heavy aggregation stays distributed in write_tile_table.
+# ---------------------------------------------------------------------------
+
+
+def export_raster_geotiff(
+    cells: DataFrame,
+    path: str,
+    west: float,
+    south: float,
+    dx: float,
+    dy: float,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "mean_val",
+    nodata: float = NODATA,
+) -> "np.ndarray":
+    """Export one raster grid (i=col, j=row, j ascending = ascending lat)
+    as a real north-up float32 GeoTIFF: missing cells → nodata, row order
+    FLIPPED so row 0 is the northmost row (ref: wcofs.py:658-659,682-683).
+    Returns the written array (north-up) for verification."""
+    import numpy as np
+
+    from .geotiff import write_geotiff
+
+    rows = cells.select(i_col, j_col, val_col).collect()
+    ni = max((r[0] for r in rows), default=-1) + 1
+    nj = max((r[1] for r in rows), default=-1) + 1
+    grid = np.full((nj, ni), nodata, dtype=np.float32)
+    for ci, cj, v in rows:
+        grid[cj, ci] = nodata if v is None else v
+    northup = grid[::-1]
+    write_geotiff(
+        path, northup, west, south + nj * dy, dx, dy, nodata=nodata
+    )
+    return northup
+
+
+def export_field_netcdf3(
+    cells: DataFrame,
+    path: str,
+    lons: "np.ndarray",
+    lats: "np.ndarray",
+    var_name: str,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "mean_val",
+    nodata: float = NODATA,
+    attrs: dict | None = None,
+) -> None:
+    """Export one gridded field as a real classic NetCDF-3 file with
+    lat/lon coordinate variables and a _FillValue'd float32 data variable
+    (ref: the reference's to_netcdf outputs, rtofs.py:390)."""
+    import numpy as np
+
+    from .netcdf3 import write_netcdf3
+
+    rows = cells.select(i_col, j_col, val_col).collect()
+    grid = np.full((len(lats), len(lons)), nodata, dtype=np.float32)
+    for ci, cj, v in rows:
+        if 0 <= cj < len(lats) and 0 <= ci < len(lons):
+            grid[cj, ci] = nodata if v is None else v
+    write_netcdf3(
+        path,
+        dims={"lat": len(lats), "lon": len(lons)},
+        variables={
+            "lat": (("lat",), np.asarray(lats, np.float64),
+                    {"units": "degrees_north"}),
+            "lon": (("lon",), np.asarray(lons, np.float64),
+                    {"units": "degrees_east"}),
+            var_name: (("lat", "lon"), grid,
+                       {"_FillValue": np.float32(nodata)}),
+        },
+        global_attrs=attrs or {"Conventions": "CF-1.6"},
+    )
