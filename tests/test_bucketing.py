@@ -1,0 +1,45 @@
+"""Bucketed co-located joins: same-bucketed tables join with ZERO shuffle
+exchanges; the identical unbucketed join shuffles both sides. Results
+are identical either way."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from pyofs_spark.plans.pipeline import assign_cells, geocode_pages
+    from pyofs_spark.sources.bucketing import (
+        colocated_join,
+        n_exchanges,
+        write_bucketed,
+    )
+    from pyofs_spark.synth import synth_pages
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tiles = assign_cells(geocode_pages(synth_pages(spark, 4000, 8)), 6).select(
+            "page_id", "cell_id", "lon", "lat"
+        )
+        rollup = tiles.groupBy("cell_id").agg(F.count("*").alias("n_pages"))
+        write_bucketed(tiles, "b_tiles", "cell_id", 8, sort_cols=["cell_id"])
+        write_bucketed(rollup, "b_rollup", "cell_id", 8, sort_cols=["cell_id"])
+
+        joined = colocated_join(spark, "b_tiles", "b_rollup", "cell_id")
+        assert n_exchanges(joined) == 0, "bucketed join must not shuffle"
+
+        # control: unbucketed copies of the same data shuffle both sides
+        tiles.write.mode("overwrite").saveAsTable("u_tiles")
+        rollup.write.mode("overwrite").saveAsTable("u_rollup")
+        control = colocated_join(spark, "u_tiles", "u_rollup", "cell_id")
+        assert n_exchanges(control) == 2, "unbucketed control must shuffle"
+
+        # same results either way
+        a = sorted((r.page_id, r.n_pages) for r in joined.collect())
+        b = sorted((r.page_id, r.n_pages) for r in control.collect())
+        assert a == b and len(a) == 4000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in ("b_tiles", "b_rollup", "u_tiles", "u_rollup"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
