@@ -332,6 +332,105 @@ def run_scaling_exec(
     )
 
 
+def run_scaling_exec_paired(
+    pages_per_exec: int = 30_000_000, pairs: int = 6, cooldown_sec: float = 20.0
+) -> None:
+    """INTERLEAVED-PAIRED two-cluster-size measurement (round 3).
+
+    Both fleets (1x and 4x pinned 4-core executor JVMs) stay alive for the
+    whole session; pair k fires the 1-exec run then the 4-exec run
+    back-to-back, so each efficiency sample
+        eff_k = tput(4 exec) / (4 * tput(1 exec)) = makespan1_k / makespan4_k
+    is measured under near-identical host conditions. Rationale: this
+    host's noise is NONSTATIONARY on the ~minutes scale (steal bursts +
+    power-state drift); the sequential protocol (run_scaling_exec) puts
+    the two sizes in different noise windows and conflates size with
+    window — round-3 suites I/J/K all failed that way. Pairing cancels
+    the common-mode term.
+
+    Estimator: median eff over pairs where BOTH halves are clean
+    (steal_frac < 2%); zero clean pairs → median over all pairs with
+    window_valid=false. All pairs published."""
+    import subprocess
+
+    fleets: dict[int, tuple[str, list]] = {}
+    for n_exec in (1, 4):
+        sig = f"/tmp/pyofs_pair_{os.getpid()}_{n_exec}"
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__), "--exec-worker",
+                    str(e * 4), str((e + 1) * 4),
+                    str(e * pages_per_exec), str((e + 1) * pages_per_exec),
+                    str(pairs), sig,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for e in range(n_exec)
+        ]
+        for p in procs:
+            while True:
+                line = p.stdout.readline()
+                if '"ready"' in line:
+                    break
+        fleets[n_exec] = (sig, procs)
+        print(f"# paired: fleet {n_exec}x4c warm", file=sys.stderr)
+
+    pair_rows = []
+    for k in range(pairs):
+        row: dict = {}
+        for n_exec in (1, 4):
+            time.sleep(cooldown_sec)
+            sig, procs = fleets[n_exec]
+            st0 = _steal_ticks()
+            t0 = time.time()
+            with open(f"{sig}_{k}", "w"):
+                pass
+            secs = [json.loads(p.stdout.readline())["sec"] for p in procs]
+            wall = time.time() - t0
+            steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
+            row[str(n_exec)] = {
+                "makespan": round(wall, 2),
+                "worker_secs": secs,
+                "steal_frac": round(steal / (32.0 * wall), 4),
+            }
+        row["eff"] = round(row["1"]["makespan"] / row["4"]["makespan"], 3)
+        row["clean"] = (
+            row["1"]["steal_frac"] < 0.02 and row["4"]["steal_frac"] < 0.02
+        )
+        pair_rows.append(row)
+        print(f"# pair {k}: {row}", file=sys.stderr)
+    for n_exec, (sig, procs) in fleets.items():
+        for p in procs:
+            p.wait(timeout=60)
+        for k in range(pairs):
+            try:
+                os.unlink(f"{sig}_{k}")
+            except OSError:
+                pass
+
+    clean = sorted(r["eff"] for r in pair_rows if r["clean"])
+    all_effs = sorted(r["eff"] for r in pair_rows)
+    med = clean[len(clean) // 2] if clean else all_effs[len(all_effs) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "tile_assignment_executor_scaling_paired",
+                "value": med,
+                "unit": "efficiency_1_to_4_executors_median_clean_pair",
+                "eff_best_pair": max(all_effs),
+                "n_clean_pairs": len(clean),
+                "window_valid": bool(clean),
+                "pages_per_exec": pages_per_exec,
+                "pairs": pair_rows,
+            }
+        )
+    )
+
+
 def _steal_ticks() -> int:
     """Hypervisor steal ticks (VM-wide) — identifies runs contaminated by
     noisy neighbors on the host (observed bursts up to 20x slowdown)."""
@@ -390,6 +489,12 @@ if __name__ == "__main__":
         i = sys.argv.index("--exec-worker")
         a = sys.argv[i + 1 : i + 7]
         exec_fleet_worker(int(a[0]), int(a[1]), int(a[2]), int(a[3]), int(a[4]), a[5])
+    elif "--scaling-exec-paired" in sys.argv:
+        i = sys.argv.index("--scaling-exec-paired")
+        extra = sys.argv[i + 1 :]
+        pages = int(extra[0]) if extra and extra[0].isdigit() else 30_000_000
+        pairs = int(extra[1]) if len(extra) > 1 and extra[1].isdigit() else 6
+        run_scaling_exec_paired(pages, pairs)
     elif "--scaling-exec" in sys.argv:
         i = sys.argv.index("--scaling-exec")
         extra = sys.argv[i + 1 :]
