@@ -84,3 +84,20 @@ def test_ngram_df_cap_bounds_fanout(spark):
     finally:
         spark.catalog.dropTempView("documents")
         spark.catalog.dropTempView("ng_words_test")
+
+
+def test_materialized_views_do_not_clobber(spark):
+    """Two invocations of materialized-intermediate queries in one session
+    get distinct per-invocation view names (round-3 ADVICE fix) — the
+    second run must not poison or reuse the first's view, and results are
+    identical across invocations."""
+    from pyofs_spark.plans.queries import get_queries
+
+    qs = get_queries()
+    a1 = {tuple(r) for r in qs["dedup_ngram_jaccard"](spark, SF_DIR).collect()}
+    b1 = {tuple(r) for r in qs["dedup_minhash_lsh"](spark, SF_DIR).collect()}
+    a2 = {tuple(r) for r in qs["dedup_ngram_jaccard"](spark, SF_DIR).collect()}
+    assert a1 == a2 and len(a1) > 0 and len(b1) > 0
+    # distinct suffixed views registered, none clobbered
+    names = [t.name for t in spark.catalog.listTables() if t.name.startswith(("ng_words", "mh_sigs"))]
+    assert len(names) == len(set(names)) and len(names) >= 3
