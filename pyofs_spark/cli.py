@@ -12,6 +12,9 @@ Subcommands:
                  pages table via --input), written partitioned with lineage
   resume       — re-invoke tile-assign; lineage makes it a no-op for
                  completed partitions
+  daily        — the daily raster ETL job (SURVEY §3.1): per-(variable,
+                 day) lineage partitions, real GeoTIFF/NetCDF sinks,
+                 resumable exactly like the reference's cron run
 """
 
 from __future__ import annotations
@@ -35,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     for a in t._actions:
         if a.dest != "help":
             r._add_action(a)
+    d = sub.add_parser("daily", help="run the daily raster ETL job")
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    d.add_argument("--out", required=True)
+    d.add_argument("--variables", default="sst,ssh")
+    d.add_argument("--days", default="2024-01-02,2024-01-03")
+    d.add_argument("--master", default=None)
     return p
 
 
@@ -48,6 +57,22 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
     spark = get_session(app_name="pyofs-cli", master=args.master)
+
+    if args.cmd == "daily":
+        from .jobs.daily import run_daily_job
+
+        summary = run_daily_job(
+            spark,
+            args.sf_dir,
+            args.out,
+            tuple(args.variables.split(",")),
+            tuple(args.days.split(",")),
+        )
+        print(
+            f"daily complete: ran={len(summary['ran'])} "
+            f"skipped={len(summary['skipped'])} index={summary['index_json']}"
+        )
+        return 0
 
     def load_pages(s):
         if args.input:
