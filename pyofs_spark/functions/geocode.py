@@ -93,3 +93,23 @@ def geocode_url_key_sql(url_col: str) -> str:
     (expected collisions per key ~1e-4), unlike a ~1e6 modulus which would
     alias thousands of urls onto identical (lon, lat)."""
     return f"pmod(xxhash64({url_col}), {URL_KEY_PRIME})"
+
+
+def geocode_url_key_portable_sql(url_col: str) -> str:
+    """ORACLE-PORTABLE string working key (round 3): the first 11 hex
+    chars of md5(url) read as a base-16 integer — a polynomial of
+    `position(c IN '0123456789abcdef')` terms that parses and evaluates
+    IDENTICALLY on Spark SQL and DuckDB, so the STRING-keyed geocode path
+    can sit inside the exact-value oracle gate (geo_cell_assign url_*
+    columns). 16^11 ≈ 1.76e13 < 2^63/104729, so every later geocode
+    product stays in BIGINT under ANSI overflow checking.
+
+    The performance default stays `geocode_url_key_sql` (xxhash64 — one
+    JVM intrinsic vs md5 + 11 position terms); both are deterministic,
+    well-mixed, zero-Python, whole-stage-codegen projections."""
+    terms = " + ".join(
+        f"cast(position(substr(md5({url_col}), {i + 1}, 1) IN "
+        f"'0123456789abcdef') - 1 as bigint) * {16 ** (10 - i)}"
+        for i in range(11)
+    )
+    return f"({terms})"

@@ -79,22 +79,53 @@ def geodocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# STRING-keyed (url) geocode path, oracle-gated (round 3): a synthetic url
+# per doc feeds the PORTABLE md5-polynomial working key
+# (geocode.geocode_url_key_portable_sql — evaluates identically on DuckDB),
+# then the same closed-form geocode + cell assignment. This puts the
+# north-rule "Common-Crawl url → cell" path inside the exact-value gate;
+# the xxhash64 fast path stays the engine default (pytest-gated).
+_URL = "concat('https://example.org/', cast(doc_id as string))"
+_UKEY = geocode.geocode_url_key_portable_sql(_URL)
+_ULON = geocode.geocode_id_lon_sql("url_key")
+_ULAT = geocode.geocode_id_lat_sql("url_key")
+_UCELL = cells.cell_id_sql("url_lon", "url_lat", GEO_RES)
+
+
 @register(
     "geo_cell_assign",
     f"""
+    WITH u AS (
+      SELECT doc_id, lon, lat, {_UKEY} AS url_key FROM {GEODOC_DUCK} g
+    ),
+    u2 AS (
+      SELECT doc_id, lon, lat, url_key,
+             {geocode.duckdb_compat(_ULON)} AS url_lon,
+             {geocode.duckdb_compat(_ULAT)} AS url_lat
+      FROM u
+    )
     SELECT doc_id, lon, lat, {_CELL} AS cell_id,
-           {cells.parent_cell_sql(_CELL, GEO_RES)} AS parent_cell
-    FROM {GEODOC_DUCK} g
+           {cells.parent_cell_sql(_CELL, GEO_RES)} AS parent_cell,
+           url_key, url_lon, url_lat, {_UCELL} AS url_cell
+    FROM u2
     """,
 )
 def geo_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocode + hierarchical cell assignment (ref analog: affine grid
-    addressing wcofs.py:302-306; H3/S2-style per north_rule)."""
+    addressing wcofs.py:302-306; H3/S2-style per north_rule), for BOTH key
+    shapes: the bigint doc_id and a url string (portable md5 working key)."""
     return (
         geodocs(spark, sf_dir)
         .withColumn("cell_id", F.expr(_CELL))
         .withColumn("parent_cell", F.expr(cells.parent_cell_sql("cell_id", GEO_RES)))
-        .select("doc_id", "lon", "lat", "cell_id", "parent_cell")
+        .withColumn("url_key", F.expr(_UKEY))
+        .withColumn("url_lon", F.expr(_ULON))
+        .withColumn("url_lat", F.expr(_ULAT))
+        .withColumn("url_cell", F.expr(_UCELL))
+        .select(
+            "doc_id", "lon", "lat", "cell_id", "parent_cell",
+            "url_key", "url_lon", "url_lat", "url_cell",
+        )
     )
 
 
