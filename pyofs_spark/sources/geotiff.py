@@ -98,6 +98,51 @@ def write_geotiff(
         fh.write(ifd)
 
 
+def write_aaigrid(
+    path: str,
+    data: np.ndarray,
+    west: float,
+    south: float,
+    cellsize: float,
+    nodata: float = -9999.0,
+) -> None:
+    """Arc/Info ASCII Grid (the reference's other raster format,
+    wcofs.py:645-711 driver='AAIGrid'): text header + rows north-first.
+    `data` is north-up (row 0 = max lat) like write_geotiff."""
+    h, w = data.shape
+    with open(path, "w") as fh:
+        fh.write(
+            f"ncols {w}\nnrows {h}\nxllcorner {west!r}\nyllcorner {south!r}\n"
+            f"cellsize {cellsize!r}\nNODATA_value {nodata!r}\n"
+        )
+        for row in np.asarray(data, dtype=np.float64):
+            fh.write(" ".join(repr(v) for v in row) + "\n")
+
+
+def read_aaigrid(path: str) -> dict:
+    """Parse an AAIGrid file → {data (north-up), west, south, cellsize,
+    nodata}."""
+    with open(path) as fh:
+        lines = fh.read().split("\n")
+    hdr = {}
+    i = 0
+    while i < len(lines) and lines[i] and lines[i].split()[0][0].isalpha():
+        k, v = lines[i].split(maxsplit=1)
+        hdr[k.lower()] = float(v)
+        i += 1
+    data = np.array(
+        [[float(x) for x in line.split()] for line in lines[i:] if line.strip()]
+    )
+    assert data.shape == (int(hdr["nrows"]), int(hdr["ncols"]))
+    return {
+        "data": data,
+        "west": hdr["xllcorner"],
+        "south": hdr["yllcorner"],
+        "cellsize": hdr["cellsize"],
+        "nodata": hdr.get("nodata_value"),
+    }
+
+
 def read_geotiff(path: str) -> dict:
     """Parse the subset written above (plus enough TIFF generality to read
     any little-endian single-strip uncompressed float32 GeoTIFF).

@@ -180,3 +180,27 @@ def test_url_keyed_flagship_zero_python_plan(spark):
     # coast bias survives the hash route: a plurality of pages in hot cells
     n_hot = sum(1 for r in rows if r.polygon_id is not None)
     assert 0.2 * len(rows) < n_hot < 0.8 * len(rows)
+
+
+def test_portable_url_key_stays_in_codegen(spark):
+    """The md5-polynomial portable url key (oracle-gated path) must keep
+    the geocode projection inside whole-stage codegen — no EvalPython, no
+    CodegenFallback drop-out."""
+    from pyspark.sql import functions as F
+
+    from pyofs_spark.functions import cells, geocode
+
+    url = "concat('https://example.org/', cast(id as string))"
+    key = geocode.geocode_url_key_portable_sql(url)
+    df = (
+        spark.range(0, 1000)
+        .withColumn("url_key", F.expr(key))
+        .withColumn("lon", F.expr(geocode.geocode_id_lon_sql("url_key")))
+        .withColumn("lat", F.expr(geocode.geocode_id_lat_sql("url_key")))
+        .withColumn("cell_id", F.expr(cells.cell_id_sql("lon", "lat", 8)))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # executedPlan marks codegen stages with '*(n)' prefixes
+    assert any(line.lstrip().startswith("*(") for line in plan.splitlines())
+    assert df.where("cell_id IS NULL OR url_key < 0").count() == 0

@@ -193,3 +193,22 @@ def test_export_field_netcdf3(spark):
         np.testing.assert_array_equal(got["variables"]["lon"]["data"], lons)
     finally:
         shutil.rmtree(d)
+
+
+def test_aaigrid_roundtrip():
+    from pyofs_spark.sources.geotiff import read_aaigrid, write_aaigrid
+
+    d = tempfile.mkdtemp()
+    try:
+        p = os.path.join(d, "g.asc")
+        a = np.array([[1.5, -9999.0, 3.25], [4.0, 5.125, 6.75]])
+        write_aaigrid(p, a, west=-126.0, south=30.0, cellsize=0.5)
+        got = read_aaigrid(p)
+        np.testing.assert_array_equal(got["data"], a)
+        assert (got["west"], got["south"], got["cellsize"], got["nodata"]) == (
+            -126.0, 30.0, 0.5, -9999.0)
+        # header is the standard 6-line AAIGrid preamble
+        head = open(p).read().splitlines()[:6]
+        assert head[0].startswith("ncols") and head[5].startswith("NODATA_value")
+    finally:
+        shutil.rmtree(d)
