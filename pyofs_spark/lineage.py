@@ -174,6 +174,35 @@ class Manifest:
         self.last_commit_bytes = mbytes + vbytes
         return new
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Iceberg expire_snapshots analog: delete snapshot files older
+        than the last `keep_last` versions plus every manifest file no
+        retained snapshot references. Time travel shrinks to the retained
+        window; `current.json` and its manifests are always kept. Returns
+        number of files removed."""
+        cur = self.current_snapshot()["version"]
+        keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            vpath = os.path.join(self.dir, f"v{v}.json")
+            if os.path.exists(vpath):
+                live.update(self._read(f"v{v}.json")["manifests"].values())
+        live.update(self.current_snapshot()["manifests"].values())
+        removed = 0
+        for f in os.listdir(self.dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    v = int(f[1:-5])
+                except ValueError:
+                    continue
+                if v not in keep_versions:
+                    os.unlink(os.path.join(self.dir, f))
+                    removed += 1
+            elif f.startswith("m") and f.endswith(".json") and f not in live:
+                os.unlink(os.path.join(self.dir, f))
+                removed += 1
+        return removed
+
 
 def run_partitioned(
     spark: SparkSession,

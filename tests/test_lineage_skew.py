@@ -255,3 +255,31 @@ def test_manifest_commit_cost_flat_at_1e4_partitions():
         assert costs[9_999] < 64_000
     finally:
         shutil.rmtree(d)
+
+
+def test_manifest_expire_snapshots():
+    """expire_snapshots keeps the last-N window resolvable, removes older
+    version files and unreferenced bucket manifests, and never breaks the
+    current snapshot."""
+    from pyofs_spark.lineage import Manifest
+
+    d = tempfile.mkdtemp()
+    try:
+        m = Manifest(d, n_buckets=8)
+        for i in range(200):
+            m.commit(f"p_{i}", {"n_rows": i})
+        before = len(os.listdir(m.dir))
+        removed = m.expire_snapshots(keep_last=5)
+        after = len(os.listdir(m.dir))
+        assert removed > 0 and after < before
+        # current still resolves fully
+        cur = m.current()
+        assert cur["version"] == 200 and len(cur["partitions"]) == 200
+        # retained window still time-travels
+        old = m._read("v198.json")
+        assert len(m.resolve(old)) == 198
+        # commits continue cleanly after gc
+        m.commit("p_next", {"n_rows": 1})
+        assert len(m.current()["partitions"]) == 201
+    finally:
+        shutil.rmtree(d)
