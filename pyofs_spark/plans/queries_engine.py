@@ -42,21 +42,53 @@ def eng_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eng_advect_contour")
-def eng_advect_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RK4 contour advection through a Rankine vortex; per-step
-    area/perimeter (iterative stateful operator, SURVEY T5)."""
-    from ..operators.advection import (
-        circle_contour,
-        contour_metrics,
-        rankine_vortex,
-        track_contour,
+# --- T5 advection, ORACLE-GATED (round 3) ------------------------------------
+# Inside the Rankine core the flow is exact solid-body rotation, so the
+# analytic trajectory is the seed polygon rigidly rotated by ω·dt·s. RK4
+# approximates each rotation step to O((ωdt)^5): measured max deviation
+# 1.5e-7 m over the 10-step fixture, while every rounded coordinate sits
+# ≥ 6.8e-6 m from its 0.01 m floor-round boundary (45x margin, fixture
+# deterministic) — so floor-round-to-cm trajectories hash-match the
+# closed form exactly. DuckDB-vs-JVM cos/sin differ only in the last ulp
+# (~5e-13 m at this magnitude), far inside the same margin.
+_ADV_N, _ADV_STEPS = 32, 10
+_ADV_W_DT = repr(120.0 / 10_000.0) + "e0"  # ω·dt per step
+_ADV_PI = "3.141592653589793e0"
+_ADV_ORACLE = f"""
+    WITH v AS (SELECT unnest(range(0, {_ADV_N})) AS vertex_idx),
+    s AS (SELECT unnest(range(0, {_ADV_STEPS + 1})) AS step),
+    base AS (
+      SELECT step, vertex_idx,
+             4000.0e0 + 2000.0e0 * cos(2.0e0 * {_ADV_PI} * vertex_idx / {_ADV_N}.0e0) AS p0x,
+             2000.0e0 * sin(2.0e0 * {_ADV_PI} * vertex_idx / {_ADV_N}.0e0) AS p0y,
+             {_ADV_W_DT} * step AS a
+      FROM v CROSS JOIN s
     )
+    SELECT step, vertex_idx,
+           floor((p0x * cos(a) - p0y * sin(a)) * 100.0e0 + 0.5e0) / 100.0e0 AS x,
+           floor((p0x * sin(a) + p0y * cos(a)) * 100.0e0 + 0.5e0) / 100.0e0 AS y
+    FROM base
+"""
+
+
+@register("eng_advect_contour", _ADV_ORACLE)
+def eng_advect_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RK4 contour advection through a Rankine vortex (iterative stateful
+    operator, SURVEY T5) — the REAL driver-loop engine path, whole
+    trajectory oracle-gated against the closed-form rigid rotation (see
+    exactness argument above). Metrics stay exercised via eng_advect_grid
+    and pytest."""
+    from ..operators.advection import circle_contour, rankine_vortex, track_contour
 
     field = rankine_vortex(0.0, 0.0, 10_000.0, 1.0)
-    seed = circle_contour(spark, 1.0, 4_000.0, 0.0, 2_000.0, n_vertices=32)
-    traj = track_contour(spark, seed, field, 0.0, 120.0, 10, order=4)
-    return contour_metrics(traj).orderBy("step")
+    seed = circle_contour(spark, 1.0, 4_000.0, 0.0, 2_000.0, n_vertices=_ADV_N)
+    traj = track_contour(spark, seed, field, 0.0, 120.0, _ADV_STEPS, order=4)
+    return traj.select(
+        F.col("step").cast("int").alias("step"),
+        F.col("vertex_idx").cast("int").alias("vertex_idx"),
+        (F.floor(F.col("x") * 100.0 + 0.5) / 100.0).alias("x"),
+        (F.floor(F.col("y") * 100.0 + 0.5) / 100.0).alias("y"),
+    )
 
 
 @register("eng_advect_grid")

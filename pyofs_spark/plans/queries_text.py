@@ -64,21 +64,13 @@ def _sql_query_materialized(
 # ---------------------------------------------------------------------------
 # Byte identity (north_star: extracted text byte-identical per url/key)
 # + positional polynomial prefix fingerprint (rolling-hash style, unrolled —
-# exact integer parity). Merged with the former txt_fingerprint query
-# (round 2) to keep the gated registry inside the driver's 50-query window.
+# exact integer parity). Round 2 merged the former txt_fingerprint in here;
+# round 3 merges the whole thing into txt_quality (same full-doc scan) to
+# free a 50-window slot for the eng_advect_contour trajectory oracle.
 # ---------------------------------------------------------------------------
 _POLY_TERMS = " + ".join(
     f"cast(ascii(substring(text, {k + 1}, 1)) as bigint) * {pow(31, 7 - k, 1_000_000_007)}"
     for k in range(8)
-)
-_sql_query(
-    "txt_byte_identity",
-    f"""
-    SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len,
-           n_chars, length(text) = n_chars AS len_consistent,
-           ({_POLY_TERMS}) % 1000000007 AS fp_poly_prefix
-    FROM documents
-    """,
 )
 
 # ---------------------------------------------------------------------------
@@ -106,6 +98,9 @@ _sql_query(
     f"""
     WITH scores AS (
       SELECT doc_id, lang,
+             md5(text) AS text_md5,
+             n_chars, length(text) = n_chars AS len_consistent,
+             ({_POLY_TERMS}) % 1000000007 AS fp_poly_prefix,
              length(text) AS n_char,
              {_WORDS_EXPR} AS n_words,
              cast(floor(length(text) / 4.0e0) as bigint) AS approx_tokens,
@@ -122,7 +117,8 @@ _sql_query(
                + {_count_occurrences('un')} AS score_fr
       FROM documents
     )
-    SELECT doc_id, lang, n_char, n_words, approx_tokens, chars_per_word,
+    SELECT doc_id, lang, text_md5, n_chars, len_consistent, fp_poly_prefix,
+           n_char, n_words, approx_tokens, chars_per_word,
            stopword_hits, stopword_ratio, score_en, score_es, score_fr,
            CASE WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
                 WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_pred
