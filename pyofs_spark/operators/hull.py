@@ -57,6 +57,16 @@ def convex_hull(points: DataFrame, lon: str = "lon", lat: str = "lat") -> np.nda
     partials = points.select(lon, lat).mapInPandas(
         _partial, f"{lon} double, {lat} double"
     )
+    # extreme partition counts (10^5+ at 100 TB): a middle tree-reduce
+    # level keeps the driver gather at O(sqrt(P) * |hull|) instead of
+    # O(P * |hull|) — coalesce partials into ~sqrt(P) groups and hull each
+    # before the final driver merge. hull(A ∪ B) = hull(hull(A) ∪ hull(B))
+    # makes every level exact.
+    n_parts = partials.rdd.getNumPartitions()
+    if n_parts > 64:
+        partials = partials.coalesce(
+            max(8, int(np.sqrt(n_parts)))
+        ).mapInPandas(_partial, f"{lon} double, {lat} double")
     merged = partials.toPandas()[[lon, lat]].to_numpy(dtype=np.float64)
     if len(merged) == 0:
         return merged

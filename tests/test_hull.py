@@ -32,3 +32,21 @@ def test_distributed_hull_matches_single_pass(spark):
     h_single = monotone_chain(xy)
     assert {tuple(p) for p in h_dist} == {tuple(p) for p in h_single}
     assert _brute_hull_contains_all(h_dist, xy)
+
+
+def test_hull_tree_reduce_level(spark):
+    """>64 partitions triggers the middle tree-reduce level; hull is
+    unchanged (hull of hulls is exact at every level)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyofs_spark.operators.hull import convex_hull, monotone_chain
+
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-50, 50, size=(5000, 2))
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": pts[:, 0], "lat": pts[:, 1]})
+    ).repartition(100)
+    got = convex_hull(df)
+    expect = monotone_chain(pts)
+    np.testing.assert_array_equal(got, expect)
