@@ -89,7 +89,7 @@ def build_day_raster(
     os.makedirs(out_dir, exist_ok=True)
     export_raster_geotiff(
         cells, os.path.join(out_dir, f"{variable}_{day}.tif"),
-        west=LON0, south=LAT0, dx=STEP, dy=STEP,
+        west=LON0, south=LAT0, dx=STEP, dy=STEP, n_i=N_LON, n_j=N_LAT,
     )
     export_field_netcdf3(
         cells, os.path.join(out_dir, f"{variable}_{day}.nc"),

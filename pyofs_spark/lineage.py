@@ -126,13 +126,23 @@ class Manifest:
         if not os.path.exists(self.current_path):
             return {"version": 0, "manifests": {}}
         with open(self.current_path) as fh:
-            return json.load(fh)
+            snap = json.load(fh)
+        if "manifests" not in snap:
+            # pre-round-3 format: the snapshot carried the full partition
+            # map inline. Surface it as legacy state; the next commit
+            # migrates it into bucket manifests (one-time O(P)).
+            snap = {
+                "version": snap["version"],
+                "manifests": {},
+                "_legacy_partitions": snap.get("partitions", {}),
+            }
+        return snap
 
     def resolve(self, snap: dict) -> dict[str, dict]:
         """Full partition map of a snapshot (reads every listed manifest —
         the read path is O(P), as any full-catalog scan must be)."""
-        parts: dict[str, dict] = {}
-        for name in snap["manifests"].values():
+        parts: dict[str, dict] = dict(snap.get("_legacy_partitions", {}))
+        for name in snap.get("manifests", {}).values():
             parts.update(self._read(name))
         return parts
 
@@ -148,17 +158,29 @@ class Manifest:
         vpath = os.path.join(self.dir, f"v{version}.json")
         if os.path.exists(vpath):  # lost-update guard (single-writer contract)
             raise RuntimeError(f"manifest version collision at v{version}")
+        manifests = dict(snap["manifests"])
+        mbytes = 0
+        legacy = snap.get("_legacy_partitions")
+        if legacy:
+            # one-time migration of a pre-round-3 inline snapshot: spread
+            # the legacy map across bucket manifests now, so this and all
+            # later commits run at the O(P/buckets) cost
+            by_bucket: dict[int, dict] = {}
+            for k, e in legacy.items():
+                by_bucket.setdefault(self._bucket(k), {})[k] = e
+            for bb, bmap in by_bucket.items():
+                mn = f"m{version}_b{bb}.json"
+                with open(os.path.join(self.dir, mn), "w") as fh:
+                    mbytes += fh.write(json.dumps(bmap))
+                manifests[str(bb)] = mn
         b = self._bucket(part_key)
         bucket_map = (
-            self._read(snap["manifests"][str(b)])
-            if str(b) in snap["manifests"]
-            else {}
+            self._read(manifests[str(b)]) if str(b) in manifests else {}
         )
         bucket_map[part_key] = entry
         mname = f"m{version}_b{b}.json"
         with open(os.path.join(self.dir, mname), "w") as fh:
-            mbytes = fh.write(json.dumps(bucket_map))
-        manifests = dict(snap["manifests"])
+            mbytes += fh.write(json.dumps(bucket_map))
         manifests[str(b)] = mname
         new = {
             "version": version,

@@ -128,9 +128,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
         if payload[i : i + 1] == b"#":
-            while payload[i : i + 1] != b"\n":
-                i += 1
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PPM header comment")
+            i = nl + 1
             continue
         j = i
         while j < len(payload) and not payload[j : j + 1].isspace():

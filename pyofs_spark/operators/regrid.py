@@ -331,8 +331,13 @@ def regrid_linear_adaptive(
                     qs["lat"].to_numpy(),
                     return_certificates=True,
                 )
-                x_ok = ((ccx - ccr >= lo_x) & (ccx + ccr <= hi_x)) | (
-                    hi_x - lo_x >= 360.0
+                # lon coordinates only exist in [-180, 180]: extent past
+                # either edge is vacuously covered (same shortcut as lat;
+                # interpolation is PLANAR in lon, replication's pmod wrap
+                # only parks far points in the tile, it does not make the
+                # space cylindrical)
+                x_ok = ((ccx - ccr >= lo_x) | (lo_x <= -180.0)) & (
+                    (ccx + ccr <= hi_x) | (hi_x >= 180.0)
                 )
                 y_ok = ((ccy - ccr >= lo_y) | (lo_y <= -90.0)) & (
                     (ccy + ccr <= hi_y) | (hi_y >= 90.0)

@@ -76,7 +76,11 @@ def cosine_topk_bruteforce(
     q_rows = queries.select(id_col, vec_col).collect()  # dim-sized by contract
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    # oracle-parity arithmetic SHAPE: dot / (|a|·|b|) with norms computed
+    # as sqrt(sum(x*x)) — NOT pre-normalized vectors. Pre-normalizing
+    # ((a/|a|)·(b/|b|)) diverges from the SQL form by ~dim·ulp, well past
+    # the single-ulp margin the repo's floor-round-6 convention absorbs.
+    qnrm = np.linalg.norm(qm, axis=1)
     # composite key c6·2^32 − cid stays exact in float64 (≤ 4.3e15 < 2^53)
     _SHIFT = float(1 << 32)
     if int(qids.max(initial=0)) >= (1 << 32) or int(qids.min(initial=0)) < 0:
@@ -88,12 +92,14 @@ def cosine_topk_bruteforce(
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             m = _stack(pdf[vec_col], dim)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-            # ONE (b, |Q|) buffer end to end: cosine → floor-round-6 counts
-            # → composite sort key. This VM charges heavily for fresh pages
-            # (hypervisor lazy allocation), so fused in-place ops beat the
-            # textbook chain of temporaries ~5x on first-touch cost.
-            comp = mn @ qn.T
+            # ONE (b, |Q|) buffer end to end: dot → cosine → floor-round-6
+            # counts → composite sort key. This VM charges heavily for
+            # fresh pages (hypervisor lazy allocation), so fused in-place
+            # ops beat the textbook chain of temporaries ~5x on
+            # first-touch cost.
+            comp = m @ qm.T  # raw dots (oracle shape: divide by norms after)
+            nrm = np.linalg.norm(m, axis=1)
+            np.divide(comp, nrm[:, None] * qnrm[None, :], out=comp)
             np.multiply(comp, 1e6, out=comp)
             np.add(comp, 0.5, out=comp)
             np.floor(comp, out=comp)  # c6 = rounded cosine * 1e6

@@ -28,7 +28,10 @@ def _sql_query(name: str, body: str, oracle: str | None = None):
     return fn
 
 
-_MAT_SEQ = [0]  # per-invocation view-name suffix (see note below)
+import itertools as _it
+
+_MAT_SEQ = _it.count(1)  # per-invocation view-name suffix (atomic next())
+_MAT_LAST: dict[str, str] = {}  # base view -> last registered name
 
 
 def _sql_query_materialized(
@@ -50,10 +53,17 @@ def _sql_query_materialized(
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
-        _MAT_SEQ[0] += 1
-        vname = f"{view}_{_MAT_SEQ[0]}"
+        vname = f"{view}_{next(_MAT_SEQ)}"
+        # release the PREVIOUS invocation's view so checkpointed plans
+        # don't accumulate in the catalog across bench re-runs (the plan a
+        # still-live returned DataFrame holds stays valid — dropping the
+        # view only removes the name binding)
+        prev = _MAT_LAST.get(view)
+        if prev is not None:
+            spark.catalog.dropTempView(prev)
         base = spark.sql(spark_pre).localCheckpoint(eager=False)
         base.createOrReplaceTempView(vname)
+        _MAT_LAST[view] = vname
         return spark.sql(spark_tail.replace(view, vname))
 
     fn.__name__ = name

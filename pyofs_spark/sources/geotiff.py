@@ -43,6 +43,11 @@ def write_geotiff(
     h, w = a.shape
     strip = a.tobytes()
     nodata_ascii = (repr(float(nodata)) + "\x00").encode()
+    # TIFF inline-value rule: payloads <= 4 bytes must live IN the entry's
+    # value field; this writer always emits an offset, so pad short nodata
+    # strings ('1.0\0') past 4 bytes with extra NULs (legal for ASCII type)
+    while len(nodata_ascii) <= 4:
+        nodata_ascii += b"\x00"
     geokeys = np.array(
         [
             1, 1, 0, 3,      # version, rev, minor, n_keys

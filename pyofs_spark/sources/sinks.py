@@ -123,18 +123,22 @@ def export_raster_geotiff(
     j_col: str = "j",
     val_col: str = "mean_val",
     nodata: float = NODATA,
+    n_i: int | None = None,
+    n_j: int | None = None,
 ) -> "np.ndarray":
     """Export one raster grid (i=col, j=row, j ascending = ascending lat)
     as a real north-up float32 GeoTIFF: missing cells → nodata, row order
     FLIPPED so row 0 is the northmost row (ref: wcofs.py:658-659,682-683).
-    Returns the written array (north-up) for verification."""
+    Pass n_i/n_j (the caller-known lattice size) so a day whose top rows
+    carry no data still writes the full grid; without them the dims are
+    inferred from the data present. Returns the north-up array."""
     import numpy as np
 
     from .geotiff import write_geotiff
 
     rows = cells.select(i_col, j_col, val_col).collect()
-    ni = max((r[0] for r in rows), default=-1) + 1
-    nj = max((r[1] for r in rows), default=-1) + 1
+    ni = n_i if n_i is not None else max((r[0] for r in rows), default=-1) + 1
+    nj = n_j if n_j is not None else max((r[1] for r in rows), default=-1) + 1
     grid = np.full((nj, ni), nodata, dtype=np.float32)
     for ci, cj, v in rows:
         grid[cj, ci] = nodata if v is None else v

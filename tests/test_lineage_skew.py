@@ -283,3 +283,38 @@ def test_manifest_expire_snapshots():
         assert len(m.current()["partitions"]) == 201
     finally:
         shutil.rmtree(d)
+
+
+def test_manifest_reads_legacy_inline_format():
+    """A pre-round-3 current.json (inline partition map) must stay
+    readable, and the next commit migrates it into bucket manifests."""
+    import json as _json
+
+    from pyofs_spark.lineage import Manifest
+
+    d = tempfile.mkdtemp()
+    try:
+        mdir = os.path.join(d, "_manifest")
+        os.makedirs(mdir)
+        legacy = {
+            "version": 2,
+            "parent_version": 1,
+            "partitions": {
+                "a": {"input_fingerprint": "a", "n_rows": 10, "path": "part_key=a"},
+                "b": {"input_fingerprint": "b", "n_rows": 20, "path": "part_key=b"},
+            },
+        }
+        with open(os.path.join(mdir, "current.json"), "w") as fh:
+            _json.dump(legacy, fh)
+        m = Manifest(d)
+        cur = m.current()
+        assert cur["version"] == 2 and set(cur["partitions"]) == {"a", "b"}
+        m.commit("c", {"input_fingerprint": "c", "n_rows": 5, "path": "part_key=c"})
+        cur = m.current()
+        assert cur["version"] == 3 and set(cur["partitions"]) == {"a", "b", "c"}
+        assert cur["partitions"]["b"]["n_rows"] == 20
+        # migrated: the new snapshot is manifest-list form
+        assert "manifests" in m.current_snapshot()
+        assert "_legacy_partitions" not in m.current_snapshot()
+    finally:
+        shutil.rmtree(d)
