@@ -59,12 +59,15 @@ def convex_hull(points: DataFrame, lon: str = "lon", lat: str = "lat") -> np.nda
     )
     # extreme partition counts (10^5+ at 100 TB): a middle tree-reduce
     # level keeps the driver gather at O(sqrt(P) * |hull|) instead of
-    # O(P * |hull|) — coalesce partials into ~sqrt(P) groups and hull each
+    # O(P * |hull|) — regroup partials into ~sqrt(P) groups and hull each
     # before the final driver merge. hull(A ∪ B) = hull(hull(A) ∪ hull(B))
-    # makes every level exact.
+    # makes every level exact. repartition (a shuffle), NOT coalesce: a
+    # coalesce here is a narrow dependency that would collapse the heavy
+    # stage-1 hull over the raw points down to sqrt(P) tasks; the shuffle
+    # is cheap because partial hulls are tiny.
     n_parts = partials.rdd.getNumPartitions()
     if n_parts > 64:
-        partials = partials.coalesce(
+        partials = partials.repartition(
             max(8, int(np.sqrt(n_parts)))
         ).mapInPandas(_partial, f"{lon} double, {lat} double")
     merged = partials.toPandas()[[lon, lat]].to_numpy(dtype=np.float64)

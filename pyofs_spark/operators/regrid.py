@@ -362,7 +362,21 @@ def regrid_linear_adaptive(
         )
         n_halo *= 2
 
-    # global backstop for the residue: one gather group, plain interp
+    # global backstop for the residue: one gather group, plain interp.
+    # The gather must see ALL sources (the certifying triangle of a query
+    # in a void can be arbitrarily far away), so it cannot be semi-joined
+    # down — instead SHORT-CIRCUIT it entirely when no uncertified queries
+    # remain (the common case): remaining is a semi-join of the (tiny,
+    # checkpointed) per-pass residue, so isEmpty() here is a cheap job,
+    # vs. an unconditional full-dataset single-task shuffle at 100 TB.
+    if remaining.isEmpty():
+        out = done[0]
+        for d in done[1:]:
+            out = out.unionByName(d)
+        return out.select(
+            F.col("_qid").alias(target_key), F.col("_val").alias(value_col)
+        )
+
     def _global(pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["_is_q"]]
         ss = pdf[~pdf["_is_q"]]

@@ -80,6 +80,13 @@ def cosine_topk_bruteforce(
     # as sqrt(sum(x*x)) — NOT pre-normalized vectors. Pre-normalizing
     # ((a/|a|)·(b/|b|)) diverges from the SQL form by ~dim·ulp, well past
     # the single-ulp margin the repo's floor-round-6 convention absorbs.
+    # Residual margin dependence (documented per round-3 ADVICE): the
+    # matmul's BLAS kernel may reorder/pairwise the 64-term dot sums while
+    # DuckDB sums sequentially, so the two engines can differ by a few ulp
+    # BEFORE rounding; parity holds as long as no fixture cosine lands
+    # within that few-ulp band of an exact 1e-6 floor boundary. If a future
+    # fixture ever trips the gate, switch the kernel to an order-matched
+    # reduction (np.add.reduce over pos) instead of loosening the round.
     qnrm = np.linalg.norm(qm, axis=1)
     # composite key c6·2^32 − cid stays exact in float64 (≤ 4.3e15 < 2^53)
     _SHIFT = float(1 << 32)
@@ -133,6 +140,103 @@ def cosine_topk_bruteforce(
         .filter(F.col("sim_rank") <= k)
         .select("qid", "cid", "cosine", "sim_rank")
     )
+
+
+def cosine_threshold_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs near-duplicate detection: every unordered pair
+    (id_a < id_b) whose floor-round-6 cosine >= threshold.
+
+    Shape (round 4 — replaces the posexplode/pos-key-join SQL twin whose
+    shuffle carried |A|·|B|·dim rows, the exact plan measured at 137 s for
+    sim_cosine_topk at sf1): a DISTRIBUTED BLOCKED MATMUL. Vectors hash
+    into n_blocks blocks by pmod(id); each block packs into one row; the
+    B·(B+1)/2 unordered block combos fan out as join rows; each combo is
+    one task doing a (nx × dim) @ (dim × ny) matmul + threshold mask. The
+    O(n²) FLOPs are inherent to EXACT all-pairs — this shape spreads them
+    over B² bounded tasks with O(n·dim·B) total I/O instead of pushing
+    |A|·|B| rows through one shuffle key. At 10^12 scale pick
+    n_blocks ~ sqrt(cluster cores) and feed a pre-filtered candidate
+    subset (e.g. LSH buckets) rather than the raw corpus; for APPROXIMATE
+    near-dup at full corpus scale use cosine_topk_lsh instead.
+
+    Arithmetic matches the SQL oracle form: dot / (sqrt(Σx²)·sqrt(Σy²)),
+    floor-round-6 before the threshold compare (same margin caveat as
+    cosine_topk_bruteforce above)."""
+    packed = (
+        vectors.select(
+            F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_b"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).alias("_item"),
+        )
+        .groupBy("_b")
+        .agg(F.collect_list("_item").alias("_items"))
+    )
+    combos = (
+        packed.select(
+            F.col("_b").alias("_bx"), F.col("_items").alias("_xi")
+        )
+        .join(
+            packed.select(
+                F.col("_b").alias("_by"), F.col("_items").alias("_yi")
+            ),
+            F.col("_bx") <= F.col("_by"),
+        )
+    )
+
+    def _unpack(items) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.array([it["id"] for it in items], dtype=np.int64)
+        m = np.array([list(it["v"]) for it in items], dtype=np.float64)
+        return ids, m.reshape(len(ids), dim)
+
+    def _pairs(batches):
+        for pdf in batches:
+            for xi, yi, bx, by in zip(
+                pdf["_xi"], pdf["_yi"], pdf["_bx"], pdf["_by"]
+            ):
+                ids_x, mx = _unpack(xi)
+                if len(ids_x) == 0:
+                    continue
+                nx_nrm = np.sqrt(np.einsum("ij,ij->i", mx, mx))
+                if bx == by:
+                    ids_y, my, ny_nrm = ids_x, mx, nx_nrm
+                else:
+                    ids_y, my = _unpack(yi)
+                    if len(ids_y) == 0:
+                        continue
+                    ny_nrm = np.sqrt(np.einsum("ij,ij->i", my, my))
+                c = mx @ my.T
+                np.divide(c, nx_nrm[:, None] * ny_nrm[None, :], out=c)
+                np.multiply(c, 1e6, out=c)
+                np.add(c, 0.5, out=c)
+                np.floor(c, out=c)
+                np.divide(c, 1e6, out=c)  # floor-round-6 cosine
+                # strict id ordering kills self-pairs and (in the diagonal
+                # combo) the double-counted mirror pairs in one mask
+                ord_mask = ids_x[:, None] < ids_y[None, :]
+                i, j = np.nonzero((c >= threshold) & ord_mask)
+                # cross combos can hold pairs in either id order (blocks
+                # are pmod residues): emit the (min, max) orientation too
+                i2, j2 = np.nonzero(
+                    (c >= threshold) & (ids_x[:, None] > ids_y[None, :])
+                ) if bx != by else (np.array([], dtype=np.int64),) * 2
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate([ids_x[i], ids_y[j2]]),
+                        "id_b": np.concatenate([ids_y[j], ids_x[i2]]),
+                        "cosine": np.concatenate([c[i, j], c[i2, j2]]),
+                    }
+                )
+
+    return combos.mapInPandas(_pairs, "id_a long, id_b long, cosine double")
 
 
 def _plane_matrix(dim: int, n_tables: int, n_planes: int) -> np.ndarray:

@@ -10,6 +10,8 @@ floor-rounded to 6 decimals BEFORE ranking with a vec_id tie-break.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,7 +66,12 @@ def _sql_query_materialized(
         base = spark.sql(spark_pre).localCheckpoint(eager=False)
         base.createOrReplaceTempView(vname)
         _MAT_LAST[view] = vname
-        return spark.sql(spark_tail.replace(view, vname))
+        # word-boundary substitution: a raw str.replace would corrupt any
+        # tail where the view name occurs as a substring of another
+        # identifier or literal
+        return spark.sql(
+            _re.sub(rf"\b{_re.escape(view)}\b", vname, spark_tail)
+        )
 
     fn.__name__ = name
     register(name, oracle)(fn)
@@ -523,8 +530,22 @@ def _cos_pairs_sql(engine: str) -> str:
     """
 
 
-_sql_query(
-    "dedup_embedding_cosine",
-    _cos_pairs_sql("spark"),
-    oracle=_cos_pairs_sql("duck"),
-)
+# Round 4 (VERDICT r03 task 2): the Spark side now runs the ENGINE blocked-
+# matmul threshold-pairs operator (operators/similarity.py:
+# cosine_threshold_pairs) — B·(B+1)/2 bounded matmul tasks, no pos-key
+# join, no |A|·|B| shuffle — while the DuckDB oracle keeps the independent
+# posexplode-style all-pairs SQL. Same swap sim_cosine_topk got in round 3;
+# plan asserted posexplode-free in tests/test_regrid_similarity.py.
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_threshold_pairs
+    from ..sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    return cosine_threshold_pairs(vecs, threshold=0.35, dim=64)
+
+
+register("dedup_embedding_cosine", _cos_pairs_sql("duck"))(_dedup_embedding_cosine)

@@ -115,12 +115,17 @@ def write_aaigrid(
     wcofs.py:645-711 driver='AAIGrid'): text header + rows north-first.
     `data` is north-up (row 0 = max lat) like write_geotiff."""
     h, w = data.shape
+    # non-finite cells map to the declared nodata value: AAIGrid has no
+    # NaN concept, and a literal 'nan' token in row 0 would be mistaken
+    # for a header line by naive readers (including ours, pre-round-4)
+    data = np.asarray(data, dtype=np.float64)
+    data = np.where(np.isfinite(data), data, nodata)
     with open(path, "w") as fh:
         fh.write(
             f"ncols {w}\nnrows {h}\nxllcorner {west!r}\nyllcorner {south!r}\n"
             f"cellsize {cellsize!r}\nNODATA_value {nodata!r}\n"
         )
-        for row in np.asarray(data, dtype=np.float64):
+        for row in data:
             fh.write(" ".join(repr(v) for v in row) + "\n")
 
 
@@ -131,7 +136,14 @@ def read_aaigrid(path: str) -> dict:
         lines = fh.read().split("\n")
     hdr = {}
     i = 0
-    while i < len(lines) and lines[i] and lines[i].split()[0][0].isalpha():
+    # bound the header scan to the six known AAIGrid keys so a data row
+    # that happens to start with a letter-ish token can never be eaten
+    known = {"ncols", "nrows", "xllcorner", "yllcorner", "cellsize",
+             "nodata_value"}
+    while i < len(lines) and lines[i]:
+        tok = lines[i].split()[0].lower()
+        if tok not in known:
+            break
         k, v = lines[i].split(maxsplit=1)
         hdr[k.lower()] = float(v)
         i += 1

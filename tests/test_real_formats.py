@@ -212,3 +212,23 @@ def test_aaigrid_roundtrip():
         assert head[0].startswith("ncols") and head[5].startswith("NODATA_value")
     finally:
         shutil.rmtree(d)
+
+
+def test_aaigrid_nan_first_row_maps_to_nodata():
+    """Round-4 ADVICE fix: a NaN in row 0 must not be emitted as a literal
+    'nan' token (which the bounded header scan would previously have eaten
+    as a header key) — non-finite cells map to the declared nodata."""
+    from pyofs_spark.sources.geotiff import read_aaigrid, write_aaigrid
+
+    d = tempfile.mkdtemp()
+    try:
+        p = os.path.join(d, "g.asc")
+        a = np.array([[np.nan, 2.0], [np.inf, -np.inf]])
+        write_aaigrid(p, a, west=0.0, south=0.0, cellsize=1.0)
+        got = read_aaigrid(p)
+        np.testing.assert_array_equal(
+            got["data"], [[-9999.0, 2.0], [-9999.0, -9999.0]]
+        )
+        assert "nan" not in open(p).read().lower().replace("nodata", "")
+    finally:
+        shutil.rmtree(d)

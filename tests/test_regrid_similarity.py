@@ -157,3 +157,39 @@ def test_ivf_recall_vs_brute(spark):
         vecs, queries, k=5, dim=64, n_centroids=16, nprobe=4, n_post=3
     ).collect()}
     assert a == again
+
+
+def test_cosine_threshold_pairs_exact_and_plan(spark):
+    """Blocked-matmul all-pairs near-dup (round 4): exact vs a numpy
+    reference at several block counts, and the gated dedup_embedding_cosine
+    plan carries NO pos-key join (the round-3 scale-killer shape)."""
+    from pyofs_spark.operators.similarity import cosine_threshold_pairs
+
+    vecs = _pdvecs(spark).filter(F.col("vec_id") % 5 == 0)
+    rows = vecs.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    c = m @ m.T / (nrm[:, None] * nrm[None, :])
+    c6 = np.floor(c * 1e6 + 0.5) / 1e6
+    iu, ju = np.nonzero((c6 >= 0.35) & (ids[:, None] < ids[None, :]))
+    want = {
+        (int(ids[i]), int(ids[j]), float(c6[i, j])) for i, j in zip(iu, ju)
+    }
+    assert len(want) > 0  # the fixture must actually exercise the operator
+    for nb in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in cosine_threshold_pairs(
+                vecs, threshold=0.35, dim=64, n_blocks=nb
+            ).collect()
+        }
+        assert got == want, f"n_blocks={nb}"
+
+    # plan assertion for the gated query: no posexplode / pos-key join
+    from pyofs_spark.plans.queries import get_queries
+
+    df = get_queries()["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
+    assert "Generate" not in plan  # no explode-based fanout anywhere
