@@ -66,6 +66,52 @@ def field_for_day(
     )
 
 
+def field_from_netcdf(
+    spark: SparkSession, nc_path: str, variable: str
+) -> DataFrame:
+    """Stage-1 alternative (round 4): scattered source field ingested from
+    a NetCDF-3 archive through the binaryFile scan source — the engine
+    analog of the reference's whole ingest side (xarray over NetCDF
+    granules, wcofs.py:179-208). Non-null cells become the scatter points;
+    point_id is the (j, i) row-major cell index."""
+    from ..sources.scan import read_netcdf3_grid
+
+    g = read_netcdf3_grid(spark, nc_path, variables=[variable])
+    return g.filter(F.col("value").isNotNull()).select(
+        (F.col("j").cast("long") * 4096 + F.col("i")).alias("point_id"),
+        "lon",
+        "lat",
+        "value",
+    )
+
+
+def build_day_raster_from_netcdf(
+    spark: SparkSession, nc_path: str, variable: str, day: str, out_dir: str
+) -> "np.ndarray":
+    """File-to-file ETL (round 4 — closes the loop the reference runs
+    daily: NetCDF granules IN, masked north-up GeoTIFF OUT,
+    write_daily_average.py:632-709). Stages 3-4 of build_day_raster over a
+    NetCDF-ingested source field; returns the north-up array written."""
+    src = field_from_netcdf(spark, nc_path, variable)
+    tgt = lattice(spark, LON0, LAT0, STEP, N_LON, N_LAT, partitions=8)
+    regridded = regrid_nearest_join(src, tgt, res=6, max_ring=8).join(
+        tgt.select("query_id", "gi", "gj", "lon", "lat"), "query_id"
+    )
+    masked = pip_fixed(regridded).withColumn(
+        "value_masked",
+        F.when(F.col("polygon_id").isNotNull(), F.col("value")),
+    )
+    cells = masked.select(
+        F.col("gi").alias("i"), F.col("gj").alias("j"),
+        F.col("value_masked").alias("mean_val"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    return export_raster_geotiff(
+        cells, os.path.join(out_dir, f"{variable}_{day}_from_nc.tif"),
+        west=LON0, south=LAT0, dx=STEP, dy=STEP, n_i=N_LON, n_j=N_LAT,
+    )
+
+
 def build_day_raster(
     spark: SparkSession, sf_dir: str, variable: str, day: str, out_dir: str
 ) -> DataFrame:

@@ -165,7 +165,12 @@ def read_geotiff(path: str) -> dict:
     any little-endian single-strip uncompressed float32 GeoTIFF).
     Returns {data, west, north, dx, dy, nodata, geokeys}."""
     with open(path, "rb") as fh:
-        buf = fh.read()
+        return read_geotiff_bytes(fh.read())
+
+
+def read_geotiff_bytes(buf: bytes) -> dict:
+    """Parse a GeoTIFF byte buffer — the kernel behind both the path-based
+    reader and the Spark binaryFile scan source (scan.py)."""
     order, magic, off_ifd = struct.unpack_from("<2sHI", buf, 0)
     if order != b"II" or magic != 42:
         raise ValueError("not a little-endian TIFF")

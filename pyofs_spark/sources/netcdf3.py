@@ -124,7 +124,12 @@ def read_netcdf3(path: str) -> dict:
     """Parse a classic CDF-1 file (fixed dims) → {dims, variables, attrs};
     variables: name → {dims, data, attrs}."""
     with open(path, "rb") as fh:
-        buf = fh.read()
+        return read_netcdf3_bytes(fh.read())
+
+
+def read_netcdf3_bytes(buf: bytes) -> dict:
+    """Parse a classic CDF-1 byte buffer — the kernel behind both the
+    path-based reader and the Spark binaryFile scan source (scan.py)."""
     if buf[:4] != b"CDF\x01":
         raise ValueError("not a classic NetCDF-3 (CDF-1) file")
     pos = 8  # magic + numrecs
