@@ -127,6 +127,105 @@ def eng_advect_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_metrics(traj).orderBy("step")
 
 
+# --- W4 contour re-spacing, ORACLE-GATED (round 4) ---------------------------
+# The engine path is the REAL grouped-map operator (respace_contour_pandas:
+# cumulative arc length + 1-D linear re-space, ref: particle_contour.py
+# interpolate_contour:1031-1062). The oracle reproduces it in closed SQL:
+# cumsum window over segment lengths (running sums are order-sequential in
+# both engines, matching np.cumsum bit-for-bit), per-contour total via max
+# of the monotone running sum, bracket join c1 <= s < c2 (the same left-
+# knot selection np.interp makes, exact at knots), then the np.interp
+# blend association slope·(s−c1)+x1. Outputs floor-round to cm — the same
+# margin convention the advection oracle uses: JVM-vs-DuckDB cos/sin and
+# hypot-vs-sqrt ulp differences sit ~1e-11 m, vs ~1e-4 m expected minimum
+# boundary distance over the 128 rounded outputs.
+_RSP_N, _RSP_OUT = 24, 16
+_RSP_PI = "3.141592653589793e0"
+_RSP_FIXTURE = f"""
+    cpar AS (
+      SELECT 1 AS contour_id, 0.0e0 AS cx, 0.0e0 AS cy,
+             3000.0e0 AS a, 1500.0e0 AS b
+      UNION ALL
+      SELECT 2, 500.0e0, -250.0e0, 2000.0e0, 900.0e0
+    ),
+    verts AS (
+      SELECT contour_id, vertex_idx,
+             cx + a * cos(2.0e0 * {_RSP_PI} * vertex_idx / {_RSP_N}.0e0) AS x,
+             cy + b * sin(2.0e0 * {_RSP_PI} * vertex_idx / {_RSP_N}.0e0) AS y
+      FROM cpar CROSS JOIN k
+    )
+"""
+_RSP_ORACLE = f"""
+    WITH k AS (SELECT unnest(range(0, {_RSP_N})) AS vertex_idx),
+    {_RSP_FIXTURE},
+    closed AS (
+      SELECT contour_id, vertex_idx, x, y FROM verts
+      UNION ALL
+      SELECT contour_id, {_RSP_N}, x, y FROM verts WHERE vertex_idx = 0
+    ),
+    seg AS (
+      SELECT contour_id, vertex_idx, x, y,
+             lead(x) OVER (PARTITION BY contour_id ORDER BY vertex_idx) AS x2,
+             lead(y) OVER (PARTITION BY contour_id ORDER BY vertex_idx) AS y2
+      FROM closed
+    ),
+    lens AS (
+      SELECT *, sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS seg_len
+      FROM seg WHERE x2 IS NOT NULL
+    ),
+    cum AS (
+      SELECT *,
+             coalesce(sum(seg_len) OVER (PARTITION BY contour_id
+               ORDER BY vertex_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0) AS c1,
+             sum(seg_len) OVER (PARTITION BY contour_id ORDER BY vertex_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM lens
+    ),
+    totals AS (SELECT contour_id, max(c2) AS total FROM cum GROUP BY contour_id),
+    ko AS (SELECT unnest(range(0, {_RSP_OUT})) AS out_idx),
+    pts AS (
+      SELECT t.contour_id, ko.out_idx,
+             (t.total / {_RSP_OUT}.0e0) * ko.out_idx AS sp
+      FROM totals t CROSS JOIN ko
+    )
+    SELECT p.contour_id, 0 AS step, cast(p.out_idx as int) AS vertex_idx,
+           floor((m.x + (m.x2 - m.x) / (m.c2 - m.c1) * (p.sp - m.c1))
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS x,
+           floor((m.y + (m.y2 - m.y) / (m.c2 - m.c1) * (p.sp - m.c1))
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS y
+    FROM pts p
+    JOIN cum m ON m.contour_id = p.contour_id
+              AND p.sp >= m.c1 AND p.sp < m.c2
+"""
+
+
+@register("eng_respace_contour", _RSP_ORACLE)
+def eng_respace_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-arc-length contour re-spacing (SURVEY W4) through the REAL
+    grouped-map engine operator over a two-ellipse fixture with unequal
+    segment lengths; whole output oracle-gated (see _RSP_ORACLE)."""
+    from ..operators.advection import respace_contour_pandas
+
+    verts = spark.sql(
+        f"""
+        WITH k AS (SELECT explode(sequence(0, {_RSP_N - 1})) AS vertex_idx),
+        {_RSP_FIXTURE}
+        SELECT cast(contour_id as double) AS contour_id, 0 AS step,
+               cast(vertex_idx as double) AS vertex_idx, x, y
+        FROM verts
+        """
+    )
+    out = respace_contour_pandas(verts, n_out=_RSP_OUT)
+    return out.select(
+        F.col("contour_id").cast("int").alias("contour_id"),
+        F.col("step").cast("int").alias("step"),
+        F.col("vertex_idx").cast("int").alias("vertex_idx"),
+        (F.floor(F.col("x") * 100.0 + 0.5) / 100.0).alias("x"),
+        (F.floor(F.col("y") * 100.0 + 0.5) / 100.0).alias("y"),
+    )
+
+
 # --- C13 convex hull, ORACLE-GATED (round 3) ---------------------------------
 # The engine runs the distributed two-level monotone-chain hull; the oracle
 # derives the same STRICT hull vertices from first principles in SQL:

@@ -133,32 +133,31 @@ _sql_query(
 )
 
 # ---------------------------------------------------------------------------
-# F5 — DOP QC threshold filter (ref: hf_radar.py:567-587)
+# F5 + F8 — QC filters, MERGED into one gated query (round 4: frees a
+# 50-window slot for the eng_respace_contour oracle, same consolidation
+# the round-3 txt_quality merge used). Branch 'dop': DOP threshold filter
+# (ref: hf_radar.py:567-587). Branch 'complete': keep only cells observed
+# on every day (ref: hf_radar.py:170-172). Both branches scan the same
+# field CTE; a tag column keeps each branch's rows separately checkable.
 # ---------------------------------------------------------------------------
 _sql_query(
-    "fld_dop_filter",
-    f"""
-    WITH field AS ({FIELD_SQL})
-    SELECT event_type,
-           count(*) AS n_pass,
-           cast(sum({CENTS}) as bigint) AS sum_cents
-    FROM field
-    WHERE dopx <= 0.5e0 AND dopy <= 0.5e0 AND v IS NOT NULL
-    GROUP BY event_type
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# F8 — incomplete-series filter: keep only cells observed on every day
-# (ref: hf_radar.py:170-172)
-# ---------------------------------------------------------------------------
-_sql_query(
-    "fld_complete_cells",
+    "fld_qc_filters",
     f"""
     WITH field AS ({FIELD_SQL}),
     coarse AS (SELECT i % 12 AS ci, j % 8 AS cj, day, v FROM field),
     days AS (SELECT count(DISTINCT day) AS n_days FROM coarse)
-    SELECT ci, cj, count(DISTINCT day) AS days_seen
+    SELECT 'dop' AS qc_kind, event_type AS key_a,
+           cast(NULL as bigint) AS key_b,
+           count(*) AS n,
+           cast(sum({CENTS}) as bigint) AS sum_cents
+    FROM field
+    WHERE dopx <= 0.5e0 AND dopy <= 0.5e0 AND v IS NOT NULL
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'complete' AS qc_kind, cast(ci as string) AS key_a,
+           cj AS key_b,
+           count(DISTINCT day) AS n,
+           cast(NULL as bigint) AS sum_cents
     FROM coarse WHERE v IS NOT NULL
     GROUP BY ci, cj
     HAVING count(DISTINCT day) = (SELECT n_days FROM days)
