@@ -133,9 +133,18 @@ def build_day_raster(
         F.col("value_masked").alias("mean_val"),
     )
     os.makedirs(out_dir, exist_ok=True)
-    export_raster_geotiff(
+    northup = export_raster_geotiff(
         cells, os.path.join(out_dir, f"{variable}_{day}.tif"),
         west=LON0, south=LAT0, dx=STEP, dy=STEP, n_i=N_LON, n_j=N_LAT,
+    )
+    # K3: the same raster appended as a 2D-gridded-coverage subdataset in
+    # the day's GeoPackage (the reference's third raster container)
+    from ..sources.gpkg import write_gpkg_raster
+
+    write_gpkg_raster(
+        os.path.join(out_dir, f"{day}.gpkg"), f"{variable}_cov", northup,
+        west=LON0, north=LAT0 + N_LAT * STEP, dx=STEP, dy=STEP,
+        field_name=variable,
     )
     export_field_netcdf3(
         cells, os.path.join(out_dir, f"{variable}_{day}.nc"),

@@ -37,6 +37,20 @@ def write_geotiff(
     """data: (h, w) float32, row 0 = NORTHMOST row (north-up contract,
     ref wcofs.py:658-659 flips ascending-lat arrays before writing);
     (west, north) = outer corner of pixel (0, 0); dx, dy positive."""
+    with open(path, "wb") as fh:
+        fh.write(geotiff_bytes(data, west, north, dx, dy, nodata))
+
+
+def geotiff_bytes(
+    data: np.ndarray,
+    west: float,
+    north: float,
+    dx: float,
+    dy: float,
+    nodata: float = -9999.0,
+) -> bytes:
+    """Serialize one north-up raster as GeoTIFF bytes (kernel behind
+    write_geotiff and the GPKG gridded-coverage tile encoder)."""
     a = np.ascontiguousarray(data, dtype=np.float32)
     if a.ndim != 2:
         raise ValueError("single-band (h, w) raster required")
@@ -93,14 +107,15 @@ def write_geotiff(
     ]
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])  # TIFF mandate
     ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    with open(path, "wb") as fh:
-        fh.write(struct.pack("<2sHI", b"II", 42, off_ifd))
-        fh.write(strip)
-        fh.write(geokeys)
-        fh.write(scale)
-        fh.write(tiepoint)
-        fh.write(nodata_ascii)
-        fh.write(ifd)
+    return (
+        struct.pack("<2sHI", b"II", 42, off_ifd)
+        + strip
+        + geokeys
+        + scale
+        + tiepoint
+        + nodata_ascii
+        + ifd
+    )
 
 
 def write_aaigrid(

@@ -244,3 +244,216 @@ def read_gpkg_layer(path: str, layer: str) -> list[dict]:
         return out
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# K3 (round 4): raster subdataset inside a GeoPackage — the OGC
+# "2D Gridded Coverage" extension (the container the reference appends
+# raster layers into, ref: utilities.py:91-170 write-to-GPKG path).
+# Tiles are float32 GeoTIFF blobs in a tile-pyramid table plus the two
+# mandated ancillary tables; tiling is zoom 0 with `tile_size`-square
+# tiles, so a large raster shards into many blobs (row/col addressable —
+# the scale path for readers that window into the coverage).
+# ---------------------------------------------------------------------------
+
+
+def _init_gpkg_raster_meta(con: sqlite3.Connection) -> None:
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_extensions (
+           table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+           definition TEXT NOT NULL, scope TEXT NOT NULL)"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_tile_matrix_set (
+           table_name TEXT NOT NULL PRIMARY KEY, srs_id INTEGER NOT NULL,
+           min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
+           max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_tile_matrix (
+           table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
+           matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT NULL,
+           tile_width INTEGER NOT NULL, tile_height INTEGER NOT NULL,
+           pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT NULL,
+           PRIMARY KEY (table_name, zoom_level))"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_2d_gridded_coverage_ancillary (
+           id INTEGER PRIMARY KEY AUTOINCREMENT,
+           tile_matrix_set_name TEXT NOT NULL UNIQUE,
+           datatype TEXT NOT NULL DEFAULT 'integer',
+           scale REAL NOT NULL DEFAULT 1.0, offset REAL NOT NULL DEFAULT 0.0,
+           precision REAL DEFAULT 1.0, data_null REAL,
+           grid_cell_encoding TEXT DEFAULT 'grid-value-is-center',
+           uom TEXT, field_name TEXT DEFAULT 'Height',
+           quantity_definition TEXT DEFAULT 'Height')"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_2d_gridded_tile_ancillary (
+           id INTEGER PRIMARY KEY AUTOINCREMENT, tpudt_name TEXT NOT NULL,
+           tpudt_id INTEGER NOT NULL, scale REAL NOT NULL DEFAULT 1.0,
+           offset REAL NOT NULL DEFAULT 0.0, min REAL, max REAL,
+           mean REAL, std_dev REAL, UNIQUE (tpudt_name, tpudt_id))"""
+    )
+
+
+def write_gpkg_raster(
+    path: str,
+    layer: str,
+    data,
+    west: float,
+    north: float,
+    dx: float,
+    dy: float,
+    nodata: float = -9999.0,
+    field_name: str = "value",
+    tile_size: int = 256,
+) -> int:
+    """Append one north-up float32 raster as a 2D-gridded-coverage layer
+    (tiled float-TIFF blobs). `data`: (h, w) array, row 0 = northmost.
+    Appending beside existing vector layers in the same .gpkg file is the
+    reference's raster-subdataset-in-GPKG behavior. Returns tile count."""
+    import numpy as np
+
+    from .geotiff import geotiff_bytes
+
+    a = np.ascontiguousarray(data, dtype=np.float32)
+    h, w = a.shape
+    mw = (w + tile_size - 1) // tile_size
+    mh = (h + tile_size - 1) // tile_size
+    con = sqlite3.connect(path)
+    try:
+        _init_gpkg(con)
+        _init_gpkg_raster_meta(con)
+        # idempotent overwrite of the layer (resume/crash re-run semantics
+        # of run_partitioned: re-writing a partition must not fail)
+        con.execute(f'DROP TABLE IF EXISTS "{layer}"')
+        con.execute(
+            "DELETE FROM gpkg_extensions WHERE table_name = ?", (layer,)
+        )
+        con.execute(
+            "DELETE FROM gpkg_2d_gridded_tile_ancillary WHERE tpudt_name = ?",
+            (layer,),
+        )
+        con.execute(
+            f'CREATE TABLE "{layer}" (id INTEGER PRIMARY KEY AUTOINCREMENT, '
+            "zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL, "
+            "tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL, "
+            "UNIQUE (zoom_level, tile_column, tile_row))"
+        )
+        south, east = north - h * dy, west + w * dx
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_contents "
+            "(table_name, data_type, identifier, min_x, min_y, max_x, max_y,"
+            " srs_id) VALUES (?,?,?,?,?,?,?,?)",
+            (layer, "2d-gridded-coverage", layer, west, south, east, north,
+             4326),
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_tile_matrix_set VALUES (?,?,?,?,?,?)",
+            (layer, 4326, west, south, east, north),
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_tile_matrix VALUES (?,0,?,?,?,?,?,?)",
+            (layer, mw, mh, tile_size, tile_size, dx, dy),
+        )
+        for ext in (
+            "gpkg_2d_gridded_coverage_ancillary",
+            "gpkg_2d_gridded_tile_ancillary",
+            layer,
+        ):
+            exists = con.execute(
+                "SELECT 1 FROM gpkg_extensions WHERE table_name = ?", (ext,)
+            ).fetchone()
+            if not exists:
+                con.execute(
+                    "INSERT INTO gpkg_extensions VALUES (?,?,?,?,?)",
+                    (ext, "tile_data" if ext == layer else None,
+                     "gpkg_2d_gridded_coverage",
+                     "http://docs.opengeospatial.org/is/17-066r1/17-066r1.html",
+                     "read-write"),
+                )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_2d_gridded_coverage_ancillary "
+            "(tile_matrix_set_name, datatype, data_null, field_name,"
+            " quantity_definition) VALUES (?,?,?,?,?)",
+            (layer, "float", float(nodata), field_name, field_name),
+        )
+        n_tiles = 0
+        for tr in range(mh):
+            for tc in range(mw):
+                block = np.full((tile_size, tile_size), nodata, np.float32)
+                sub = a[
+                    tr * tile_size : (tr + 1) * tile_size,
+                    tc * tile_size : (tc + 1) * tile_size,
+                ]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                blob = geotiff_bytes(
+                    block,
+                    west + tc * tile_size * dx,
+                    north - tr * tile_size * dy,
+                    dx, dy, nodata=nodata,
+                )
+                cur = con.execute(
+                    f'INSERT INTO "{layer}" (zoom_level, tile_column,'
+                    " tile_row, tile_data) VALUES (0, ?, ?, ?)",
+                    (tc, tr, blob),
+                )
+                valid = sub[sub != np.float32(nodata)]
+                con.execute(
+                    "INSERT INTO gpkg_2d_gridded_tile_ancillary "
+                    "(tpudt_name, tpudt_id, min, max, mean, std_dev) "
+                    "VALUES (?,?,?,?,?,?)",
+                    (layer, cur.lastrowid,
+                     float(valid.min()) if valid.size else None,
+                     float(valid.max()) if valid.size else None,
+                     float(valid.mean()) if valid.size else None,
+                     float(valid.std()) if valid.size else None),
+                )
+                n_tiles += 1
+        con.commit()
+        return n_tiles
+    finally:
+        con.close()
+
+
+def read_gpkg_raster(path: str, layer: str) -> dict:
+    """Reassemble a 2D-gridded-coverage layer → {data (north-up, trimmed
+    to the coverage extent), west, north, dx, dy, nodata}."""
+    import numpy as np
+
+    from .geotiff import read_geotiff_bytes
+
+    con = sqlite3.connect(path)
+    try:
+        (mw, mh, tw, th, dx, dy) = con.execute(
+            "SELECT matrix_width, matrix_height, tile_width, tile_height,"
+            " pixel_x_size, pixel_y_size FROM gpkg_tile_matrix"
+            " WHERE table_name = ? AND zoom_level = 0",
+            (layer,),
+        ).fetchone()
+        (west, south, east, north) = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_tile_matrix_set"
+            " WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        (nodata,) = con.execute(
+            "SELECT data_null FROM gpkg_2d_gridded_coverage_ancillary"
+            " WHERE tile_matrix_set_name = ?",
+            (layer,),
+        ).fetchone()
+        full = np.full((mh * th, mw * tw), nodata, np.float32)
+        for tc, tr, blob in con.execute(
+            f'SELECT tile_column, tile_row, tile_data FROM "{layer}"'
+            " WHERE zoom_level = 0"
+        ):
+            t = read_geotiff_bytes(bytes(blob))
+            full[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw] = t["data"]
+        h = int(round((north - south) / dy))
+        w = int(round((east - west) / dx))
+        return {
+            "data": full[:h, :w], "west": west, "north": north,
+            "dx": dx, "dy": dy, "nodata": nodata,
+        }
+    finally:
+        con.close()

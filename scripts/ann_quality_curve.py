@@ -8,8 +8,12 @@ config reports recall@k and the mean number of exactly-re-ranked
 candidates per query (the dominant cost term of both paths — the bucket
 join itself is a cheap equi-join).
 
-Usage: python scripts/ann_quality_curve.py [sf_dir] → writes
-BENCH/ann_quality_curve_r3.json and prints one JSON line.
+Usage: python scripts/ann_quality_curve.py [sf_dir] [out_name] → writes
+BENCH/<out_name>.json (default ann_quality_curve_r3) and prints one JSON
+line. Round 4: config grids scale with the fixture — above 10k vectors
+(the sf1 20k-vector run, VERDICT r03 task 7) the LSH sweep adds deeper
+plane counts and IVF moves to 64 centroids, so the published curve
+reflects candidate costs at a scale where they differentiate.
 """
 
 from __future__ import annotations
@@ -60,7 +64,7 @@ def cand_count_ivf(vecs, queries, cents, nprobe, n_post):
     )
 
 
-def main(sf_dir: str) -> None:
+def main(sf_dir: str, out_name: str = "ann_quality_curve_r3") -> None:
     from pyofs_spark.operators.similarity import (
         cosine_topk_bruteforce,
         cosine_topk_ivf,
@@ -80,36 +84,45 @@ def main(sf_dir: str) -> None:
     out = {"k": K, "n_queries": nq, "n_vectors": vecs.count(), "sf_dir": sf_dir,
            "lsh": [], "ivf": []}
 
-    for n_tables in (2, 4, 8, 16, 32):
+    big = out["n_vectors"] > 10_000
+    lsh_grid = (
+        [(8, 6), (16, 6), (8, 8), (16, 8), (32, 8)]
+        if big
+        else [(2, 4), (4, 4), (8, 4), (16, 4), (32, 4)]
+    )
+    for n_tables, n_planes in lsh_grid:
         approx = {
             (r.qid, r.cid)
             for r in cosine_topk_lsh(
-                vecs, queries, k=K, dim=DIM, n_tables=n_tables, n_planes=4
+                vecs, queries, k=K, dim=DIM, n_tables=n_tables,
+                n_planes=n_planes
             ).collect()
         }
-        cands = cand_count_lsh(vecs, queries, n_tables, 4)
+        cands = cand_count_lsh(vecs, queries, n_tables, n_planes)
         out["lsh"].append(
             {
                 "n_tables": n_tables,
-                "n_planes": 4,
+                "n_planes": n_planes,
                 "recall": round(len(approx & truth) / len(truth), 4),
                 "cand_per_query": round(cands / nq, 1),
             }
         )
         print("lsh", out["lsh"][-1], file=sys.stderr)
 
-    cents = ivf_centroids(vecs, DIM, n_centroids=16)
-    for nprobe in (1, 2, 4, 8):
+    n_cent = 64 if big else 16
+    cents = ivf_centroids(vecs, DIM, n_centroids=n_cent)
+    for nprobe in (1, 2, 4, 8, 16) if big else (1, 2, 4, 8):
         approx = {
             (r.qid, r.cid)
             for r in cosine_topk_ivf(
-                vecs, queries, k=K, dim=DIM, n_centroids=16, nprobe=nprobe, n_post=3
+                vecs, queries, k=K, dim=DIM, n_centroids=n_cent,
+                nprobe=nprobe, n_post=3
             ).collect()
         }
         cands = cand_count_ivf(vecs, queries, cents, nprobe, 3)
         out["ivf"].append(
             {
-                "n_centroids": 16,
+                "n_centroids": n_cent,
                 "nprobe": nprobe,
                 "n_post": 3,
                 "recall": round(len(approx & truth) / len(truth), 4),
@@ -119,11 +132,14 @@ def main(sf_dir: str) -> None:
         print("ivf", out["ivf"][-1], file=sys.stderr)
 
     dst = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "BENCH", "ann_quality_curve_r3.json")
+                       "BENCH", f"{out_name}.json")
     with open(dst, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
+        sys.argv[2] if len(sys.argv) > 2 else "ann_quality_curve_r3",
+    )

@@ -49,6 +49,18 @@ def test_daily_job_end_to_end_and_resume(spark):
         assert nc["variables"]["ssh"]["data"].shape == (N_LAT, N_LON)
         assert nc["dims"] == {"lat": N_LAT, "lon": N_LON}
 
+        # K3 (round 4): both variables' rasters live as gridded-coverage
+        # subdatasets in the day's GeoPackage, equal to the GeoTIFF
+        from pyofs_spark.sources.gpkg import read_gpkg_raster
+
+        cov = read_gpkg_raster(
+            os.path.join(out, "rasters", "2024-01-02.gpkg"), "sst_cov"
+        )
+        np.testing.assert_array_equal(cov["data"], tif["data"])
+        read_gpkg_raster(
+            os.path.join(out, "rasters", "2024-01-02.gpkg"), "ssh_cov"
+        )
+
         # GeoTIFF north-up row 0 == manifest table's max-gj row (flip check)
         sst = {  # (gi, gj) -> masked value for the written day
             (r.gi, r.gj): r.value if r.polygon_id is not None else None

@@ -232,3 +232,45 @@ def test_aaigrid_nan_first_row_maps_to_nodata():
         assert "nan" not in open(p).read().lower().replace("nodata", "")
     finally:
         shutil.rmtree(d)
+
+
+def test_gpkg_raster_gridded_coverage_roundtrip(spark):
+    """K3 (round 4): raster subdataset appended INTO a GeoPackage beside a
+    vector layer — OGC 2D-gridded-coverage tiles (float TIFF blobs) with
+    the mandated ancillary/extension tables; multi-tile round-trip."""
+    from pyofs_spark.sources.gpkg import (
+        read_gpkg_layer, read_gpkg_raster, write_gpkg_points,
+        write_gpkg_raster,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        p = os.path.join(d, "day.gpkg")
+        # vector layer first (the reference's layered-GPKG usage)
+        pts = spark.createDataFrame(
+            [(46011, -124.5, 41.0)], "sid int, lon double, lat double"
+        )
+        write_gpkg_points(pts, p, "stations")
+        # 5x7 raster with a 4-pixel tile size -> 2x2 tile matrix
+        rng = np.arange(35, dtype=np.float32).reshape(5, 7)
+        rng[0, 0] = -9999.0
+        n = write_gpkg_raster(
+            p, "sst_cov", rng, west=-126.0, north=35.0, dx=0.5, dy=0.5,
+            tile_size=4,
+        )
+        assert n == 4
+        got = read_gpkg_raster(p, "sst_cov")
+        np.testing.assert_array_equal(got["data"], rng)
+        assert (got["west"], got["north"], got["dx"], got["dy"],
+                got["nodata"]) == (-126.0, 35.0, 0.5, 0.5, -9999.0)
+        # both layers coexist; contents rows carry the right data_type
+        assert len(read_gpkg_layer(p, "stations")) == 1
+        import sqlite3 as _sq
+        con = _sq.connect(p)
+        kinds = dict(con.execute(
+            "SELECT table_name, data_type FROM gpkg_contents"))
+        con.close()
+        assert kinds == {"stations": "features",
+                         "sst_cov": "2d-gridded-coverage"}
+    finally:
+        shutil.rmtree(d)
