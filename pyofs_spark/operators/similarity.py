@@ -179,18 +179,34 @@ def cosine_threshold_pairs(
         )
         .groupBy("_b")
         .agg(F.collect_list("_item").alias("_items"))
+        # both sides of the combo join project from this: materialize so
+        # the source is scanned ONCE, not once per side. Cluster note:
+        # localCheckpoint is not fault-tolerant — swap for
+        # persist(DISK_ONLY) on a real cluster (same caveat as
+        # queries_text._sql_query_materialized).
+        .localCheckpoint(eager=False)
     )
-    combos = (
-        packed.select(
-            F.col("_b").alias("_bx"), F.col("_items").alias("_xi")
-        )
-        .join(
-            packed.select(
-                F.col("_b").alias("_by"), F.col("_items").alias("_yi")
-            ),
-            F.col("_bx") <= F.col("_by"),
-        )
+    # Combo fan-out as an EQUI-join: each x-block replicates to its
+    # partner keys (bx, by>=bx), each y-block to (bx<=by, by), and the
+    # two meet in a hash-partitioned join on the pair key. A naive
+    # `join(packed, bx <= by)` compiles to BroadcastNestedLoopJoin with
+    # IdentityBroadcastMode — broadcasting the ENTIRE packed dataset to
+    # every task, which at the operator's design point is the corpus
+    # itself (plan-asserted out in tests). This shape moves O(n·dim·B)
+    # rows through one shuffle instead — the blocked-matmul contract.
+    left = packed.select(
+        F.col("_b").alias("_bx"),
+        F.explode(
+            F.sequence(F.col("_b"), F.lit(n_blocks - 1))
+        ).alias("_by"),
+        F.col("_items").alias("_xi"),
     )
+    right = packed.select(
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_bx"),
+        F.col("_b").alias("_by"),
+        F.col("_items").alias("_yi"),
+    )
+    combos = left.join(right, ["_bx", "_by"])
 
     def _unpack(items) -> tuple[np.ndarray, np.ndarray]:
         ids = np.array([it["id"] for it in items], dtype=np.int64)

@@ -192,4 +192,7 @@ def test_cosine_threshold_pairs_exact_and_plan(spark):
     df = get_queries()["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "posexplode" not in plan.lower()
-    assert "Generate" not in plan  # no explode-based fanout anywhere
+    # no full-dataset broadcast: the combo fan-out must be the equi-key
+    # shuffle join, not a nested-loop broadcast of the packed corpus
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "IdentityBroadcastMode" not in plan
