@@ -190,7 +190,9 @@ def track_contour(
     for s in range(1, n_steps + 1):
         cur = rk_step(cur, field, t0 + (s - 1) * dt, dt, order)
         if s % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=False)
+            from ..session import materialize
+
+            cur = materialize(cur)
         frames.append(cur.withColumn("step", F.lit(s)))
     out = frames[0]
     for fr in frames[1:]:

@@ -148,7 +148,9 @@ def knn_join(
 
     for ring in range(1, max_ring + 1):
         # truncate lineage so each pass doesn't recompute all prior passes
-        remaining = remaining.localCheckpoint(eager=False)
+        from ..session import materialize
+
+        remaining = materialize(remaining)
         offsets = F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

@@ -213,6 +213,13 @@ def regrid_linear_join(
     )
 
 
+def _materialize_res(df: DataFrame) -> DataFrame:
+    """Per-pass residue pin (durable-policy switch in session.materialize)."""
+    from ..session import materialize
+
+    return materialize(df)
+
+
 def regrid_linear_adaptive(
     spark: SparkSession,
     sources: DataFrame,
@@ -354,7 +361,7 @@ def regrid_linear_adaptive(
             .applyInPandas(
                 _make_interp(halo_deg), "_qid long, _val double, _ok boolean"
             )
-            .localCheckpoint(eager=False)
+            .transform(_materialize_res)
         )
         done.append(res.filter(F.col("_ok")).select("_qid", "_val"))
         remaining = remaining.join(

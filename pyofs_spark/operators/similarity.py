@@ -142,6 +142,15 @@ def cosine_topk_bruteforce(
     )
 
 
+def _materialize_packed(df: DataFrame) -> DataFrame:
+    """Scan-once pin for the packed block table (durable-policy switch in
+    session.materialize: PYOFS_DURABLE_MATERIALIZE=1 → persist DISK_ONLY
+    on real clusters)."""
+    from ..session import materialize
+
+    return materialize(df)
+
+
 def cosine_threshold_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -179,12 +188,7 @@ def cosine_threshold_pairs(
         )
         .groupBy("_b")
         .agg(F.collect_list("_item").alias("_items"))
-        # both sides of the combo join project from this: materialize so
-        # the source is scanned ONCE, not once per side. Cluster note:
-        # localCheckpoint is not fault-tolerant — swap for
-        # persist(DISK_ONLY) on a real cluster (same caveat as
-        # queries_text._sql_query_materialized).
-        .localCheckpoint(eager=False)
+        .transform(_materialize_packed)
     )
     # Combo fan-out as an EQUI-join: each x-block replicates to its
     # partner keys (bx, by>=bx), each y-block to (bx<=by, by), and the

@@ -47,11 +47,10 @@ def _sql_query_materialized(
     one-statement form. Values identical — only the Spark plan changes.
 
     The view name gets a per-invocation suffix so two concurrent
-    invocations in one session can't clobber each other's views. Cluster
-    note: localCheckpoint is NOT fault-tolerant (an executor loss makes the
-    truncated lineage unrecoverable) — on a real cluster swap it for
-    persist(StorageLevel.DISK_ONLY) or a reliable checkpoint; here the
-    serial local bench keeps the cheap form."""
+    invocations in one session can't clobber each other's views. The
+    materialization policy lives in session.materialize: localCheckpoint
+    by default (single-node bench), persist(DISK_ONLY) with
+    PYOFS_DURABLE_MATERIALIZE=1 for fault tolerance on real clusters."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -63,7 +62,9 @@ def _sql_query_materialized(
         prev = _MAT_LAST.get(view)
         if prev is not None:
             spark.catalog.dropTempView(prev)
-        base = spark.sql(spark_pre).localCheckpoint(eager=False)
+        from ..session import materialize
+
+        base = materialize(spark.sql(spark_pre))
         base.createOrReplaceTempView(vname)
         _MAT_LAST[view] = vname
         # word-boundary substitution: a raw str.replace would corrupt any

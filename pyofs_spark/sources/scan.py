@@ -49,6 +49,51 @@ def read_netcdf3_grid(
     cells surface as NULL (the repo's internal missing-value convention —
     nodata exists only at file edges, sinks.py docstring). i indexes lon,
     j indexes lat, both 0-based ascending."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return bin_df.mapInPandas(_netcdf_decoder(variables), _GRID_SCHEMA)
+
+
+def stream_netcdf3_grid(
+    spark: SparkSession,
+    path: str,
+    variables: list[str] | None = None,
+    glob: str = "*.nc",
+    max_files_per_trigger: int | None = None,
+):
+    """STREAMING NetCDF-3 granule ingest: readStream(binaryFile) + the
+    same mapInPandas decode — new granules dropped into `path` surface as
+    new cell rows, exactly-once per file via the file-source's processed
+    log (the checkpointLocation belongs to the sink's writeStream).
+
+    This is the reference's operational pattern (a cron loop polling for
+    the day's new model/satellite granules, write_daily_average.py:620-658)
+    as a real Structured Streaming source: the stream composes with the
+    engine's windowed daily aggregation (streaming/daily.py) so
+    granule-arrival → rollup needs no orchestration glue. Stateless
+    decode → any watermark/window downstream owns the event-time story."""
+    # streaming file sources require an explicit schema; binaryFile's is
+    # fixed by the format
+    rs = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bin_df = rs.load(path).select("path", "content")
+    return bin_df.mapInPandas(_netcdf_decoder(variables), _GRID_SCHEMA)
+
+
+def _netcdf_decoder(variables: list[str] | None):
+    """mapInPandas decode kernel shared by the batch scan and the stream."""
     want = set(variables) if variables is not None else None
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,13 +138,7 @@ def read_netcdf3_grid(
                         }
                     )
 
-    bin_df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-        .select("path", "content")
-    )
-    return bin_df.mapInPandas(_decode, _GRID_SCHEMA)
+    return _decode
 
 
 def read_geotiff_raster(

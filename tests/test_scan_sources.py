@@ -118,3 +118,63 @@ def test_daily_job_netcdf_in_geotiff_out(spark):
         )
     finally:
         shutil.rmtree(out)
+
+
+def test_streaming_netcdf_granule_pickup(spark):
+    """Streaming ingest: granules dropped into the directory surface as
+    new rows, exactly once per file across triggers (file-source log)."""
+    import numpy as np
+
+    from pyofs_spark.sources.scan import stream_netcdf3_grid
+    from pyofs_spark.sources.sinks import export_field_netcdf3
+
+    d = tempfile.mkdtemp()
+    chk = tempfile.mkdtemp()
+    sink = tempfile.mkdtemp()
+    try:
+        lons, lats = np.array([0.0, 1.0]), np.array([5.0, 6.0])
+        cells = spark.createDataFrame(
+            [(0, 0, 1.0), (1, 1, 2.0)], "i int, j int, mean_val double"
+        )
+        export_field_netcdf3(
+            cells, os.path.join(d, "g1.nc"), lons=lons, lats=lats,
+            var_name="sst",
+        )
+        stream = stream_netcdf3_grid(spark, d)
+        assert stream.isStreaming
+
+        def run_trigger():
+            # parquet sink: supports checkpoint recovery (exactly-once
+            # across restarts), unlike the memory sink
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+
+        run_trigger()
+        first = spark.read.parquet(sink).collect()
+        assert len(first) == 4  # one 2x2 granule
+
+        # second granule arrives; only ITS rows are new
+        export_field_netcdf3(
+            cells, os.path.join(d, "g2.nc"), lons=lons, lats=lats,
+            var_name="sst",
+        )
+        run_trigger()
+        rows = spark.read.parquet(sink).collect()
+        assert len(rows) == 8
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(os.path.basename(r.path), []).append(r)
+        assert set(by_file) == {"g1.nc", "g2.nc"}
+        assert all(len(v) == 4 for v in by_file.values())  # exactly once
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        shutil.rmtree(d)
+        shutil.rmtree(chk)
+        shutil.rmtree(sink)
