@@ -346,6 +346,10 @@ def run_scaling_exec(
                 line = p.stdout.readline()
                 if '"ready"' in line:
                     break
+                if line == "" and p.poll() is not None:
+                    raise RuntimeError(
+                        f"fleet worker died before ready (rc={p.returncode})"
+                    )
         fleet_runs = []
         total = n_exec * pages_per_exec
         for k in range(runs):
@@ -363,7 +367,12 @@ def run_scaling_exec(
                 pass
             worker_secs = []
             for p in procs:
-                worker_secs.append(json.loads(p.stdout.readline())["sec"])
+                line = p.stdout.readline()
+                if line == "":
+                    raise RuntimeError(
+                        f"fleet worker died mid-suite (rc={p.poll()})"
+                    )
+                worker_secs.append(json.loads(line)["sec"])
             wall = time.time() - t0
             steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
             frac = steal / (32.0 * wall)
@@ -464,6 +473,10 @@ def run_scaling_exec_paired(
                 line = p.stdout.readline()
                 if '"ready"' in line:
                     break
+                if line == "" and p.poll() is not None:
+                    raise RuntimeError(
+                        f"fleet worker died before ready (rc={p.returncode})"
+                    )
         fleets[n_exec] = (sig, procs)
         print(f"# paired: fleet {n_exec}x4c warm", file=sys.stderr)
 
@@ -477,7 +490,14 @@ def run_scaling_exec_paired(
             t0 = time.time()
             with open(f"{sig}_{k}", "w"):
                 pass
-            secs = [json.loads(p.stdout.readline())["sec"] for p in procs]
+            secs = []
+            for p in procs:
+                line = p.stdout.readline()
+                if line == "":
+                    raise RuntimeError(
+                        f"fleet worker died mid-pair (rc={p.poll()})"
+                    )
+                secs.append(json.loads(line)["sec"])
             wall = time.time() - t0
             steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
             row[str(n_exec)] = {

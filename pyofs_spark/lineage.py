@@ -111,7 +111,15 @@ class Manifest:
         self.n_buckets = n_buckets
         self.last_commit_bytes = 0  # commit-cost telemetry (tested flat)
         self.collisions = 0  # CAS losses observed (multi-writer telemetry)
-        self._seq = 0  # per-writer manifest-name uniquifier
+        # per-WRITER-INSTANCE manifest-name uniquifier: pid alone collides
+        # for two Manifest instances (or threads) in one process — each
+        # instance gets a random token, and the counter is an atomic
+        # itertools.count so a shared instance is thread-safe too
+        import itertools as _it
+        import uuid as _uuid
+
+        self._token = f"{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+        self._seq = _it.count(1)
 
     def _bucket(self, part_key: str) -> int:
         import hashlib as _h
@@ -182,8 +190,7 @@ class Manifest:
         snap = self.current_snapshot()
         version = snap["version"] + 1
         vpath = os.path.join(self.dir, f"v{version}.json")
-        self._seq += 1
-        uniq = f"{os.getpid()}_{self._seq}"
+        uniq = f"{self._token}_{next(self._seq)}"
         manifests = dict(snap["manifests"])
         mbytes = 0
         legacy = snap.get("_legacy_partitions")

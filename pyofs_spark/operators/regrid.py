@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import materialize as _materialize
 from .knn import nn_value_join
 
 
@@ -213,13 +214,6 @@ def regrid_linear_join(
     )
 
 
-def _materialize_res(df: DataFrame) -> DataFrame:
-    """Per-pass residue pin (durable-policy switch in session.materialize)."""
-    from ..session import materialize
-
-    return materialize(df)
-
-
 def regrid_linear_adaptive(
     spark: SparkSession,
     sources: DataFrame,
@@ -361,7 +355,7 @@ def regrid_linear_adaptive(
             .applyInPandas(
                 _make_interp(halo_deg), "_qid long, _val double, _ok boolean"
             )
-            .transform(_materialize_res)
+            .transform(_materialize)
         )
         done.append(res.filter(F.col("_ok")).select("_qid", "_val"))
         remaining = remaining.join(

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..session import materialize as _materialize
+
 
 def _stack(s: pd.Series, dim: int) -> np.ndarray:
     """Arrow list column → (n, dim) float64 matrix."""
@@ -98,6 +100,16 @@ def cosine_topk_bruteforce(
             if len(pdf) == 0:
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
+            # candidate ids must satisfy the same composite-key bound as
+            # query ids; checked per batch (distributed — the driver-side
+            # guard can only see the query set). Silent corruption
+            # otherwise: an out-of-range cid bleeds into the c6 field.
+            if len(cids) and (
+                int(cids.max()) >= (1 << 32) or int(cids.min()) < 0
+            ):
+                raise ValueError(
+                    "float64 composite tie-break key needs 0 <= id < 2^32"
+                )
             m = _stack(pdf[vec_col], dim)
             # ONE (b, |Q|) buffer end to end: dot → cosine → floor-round-6
             # counts → composite sort key. This VM charges heavily for
@@ -142,15 +154,6 @@ def cosine_topk_bruteforce(
     )
 
 
-def _materialize_packed(df: DataFrame) -> DataFrame:
-    """Scan-once pin for the packed block table (durable-policy switch in
-    session.materialize: PYOFS_DURABLE_MATERIALIZE=1 → persist DISK_ONLY
-    on real clusters)."""
-    from ..session import materialize
-
-    return materialize(df)
-
-
 def cosine_threshold_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -188,7 +191,8 @@ def cosine_threshold_pairs(
         )
         .groupBy("_b")
         .agg(F.collect_list("_item").alias("_items"))
-        .transform(_materialize_packed)
+        # scan-once pin; durable-policy switch in session.materialize
+        .transform(_materialize)
     )
     # Combo fan-out as an EQUI-join: each x-block replicates to its
     # partner keys (bx, by>=bx), each y-block to (bx<=by, by), and the

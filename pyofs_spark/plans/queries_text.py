@@ -33,7 +33,8 @@ def _sql_query(name: str, body: str, oracle: str | None = None):
 import itertools as _it
 
 _MAT_SEQ = _it.count(1)  # per-invocation view-name suffix (atomic next())
-_MAT_LAST: dict[str, str] = {}  # base view -> last registered name
+_MAT_PREV: dict[str, list] = {}  # base view -> older registered names
+_MAT_GAP = 8  # drop views only this many generations old (see below)
 
 
 def _sql_query_materialized(
@@ -55,18 +56,19 @@ def _sql_query_materialized(
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
         vname = f"{view}_{next(_MAT_SEQ)}"
-        # release the PREVIOUS invocation's view so checkpointed plans
-        # don't accumulate in the catalog across bench re-runs (the plan a
-        # still-live returned DataFrame holds stays valid — dropping the
-        # view only removes the name binding)
-        prev = _MAT_LAST.get(view)
-        if prev is not None:
-            spark.catalog.dropTempView(prev)
+        # release OLD invocations' views so checkpointed plans don't
+        # accumulate across bench re-runs — but only views ≥ _MAT_GAP
+        # generations old: dropping the immediately-previous name would
+        # race a concurrent invocation that registered it but hasn't
+        # analyzed its tail yet (round-4 review finding)
+        hist = _MAT_PREV.setdefault(view, [])
+        hist.append(vname)
+        while len(hist) > _MAT_GAP:
+            spark.catalog.dropTempView(hist.pop(0))
         from ..session import materialize
 
         base = materialize(spark.sql(spark_pre))
         base.createOrReplaceTempView(vname)
-        _MAT_LAST[view] = vname
         # word-boundary substitution: a raw str.replace would corrupt any
         # tail where the view name occurs as a substring of another
         # identifier or literal

@@ -98,8 +98,11 @@ def build_curvilinear_grid(
             lon_m, lat_m = rotated_pole_unrotate(
                 rlon - step / 4, rlat, pole_lon, pole_lat
             )
+            # wrap dlon into (-180, 180]: across the antimeridian the
+            # raw difference is ~±360 and would flip the angle by ~π
+            dlon = (lon_p - lon_m + 180.0) % 360.0 - 180.0
             angle = np.arctan2(
-                lat_p - lat_m, np.cos(np.radians(lat)) * (lon_p - lon_m)
+                lat_p - lat_m, np.cos(np.radians(lat)) * dlon
             )
         else:
             angle = np.full(lon.shape, np.nan)
@@ -145,6 +148,11 @@ def rotate_staggered_uv(
         F.max(F.when(F.col("grid_name") == "u", F.col("j"))).alias("ju"),
         F.max(F.when(F.col("grid_name") == "v", F.col("i"))).alias("iv"),
     ).collect()[0]
+    if ext.ju is None or ext.iv is None:
+        raise ValueError(
+            "grid table must contain 'u' and 'v' sub-grid rows "
+            "(build_curvilinear_grid emits all four sub-grids)"
+        )
     # u grid is (n_eta, n_xi-1), v grid (n_eta-1, n_xi); the aligned block
     # u[:-1, :] / v[:, :-1] / angle[:-1, :-1] spans i,j in [0, n_xi-2] ×
     # [0, n_eta-2]

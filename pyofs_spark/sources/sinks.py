@@ -141,7 +141,11 @@ def export_raster_geotiff(
     nj = n_j if n_j is not None else max((r[1] for r in rows), default=-1) + 1
     grid = np.full((nj, ni), nodata, dtype=np.float32)
     for ci, cj, v in rows:
-        grid[cj, ci] = nodata if v is None else v
+        # skip cells outside the declared lattice (same contract as
+        # export_field_netcdf3; unguarded, a stray index would crash the
+        # export or — if negative — silently wrap to the opposite edge)
+        if 0 <= cj < nj and 0 <= ci < ni:
+            grid[cj, ci] = nodata if v is None else v
     northup = grid[::-1]
     write_geotiff(
         path, northup, west, south + nj * dy, dx, dy, nodata=nodata
