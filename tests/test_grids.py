@@ -124,3 +124,19 @@ def test_rotate_staggered_uv_matches_kernel(spark):
     # the grid side must broadcast (dimension-table contract)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_grid_angle_across_antimeridian(spark):
+    """Round-4 review fix: with an identity pole the grid is east-aligned
+    (angle ~ 0 everywhere) even where the central-difference lon pair
+    straddles ±180; the unwrapped difference used to flip those cells'
+    angle by ~pi."""
+    g = build_curvilinear_grid(
+        spark, 6, 4, rlon0=178.6, rlat0=-1.0, step=0.5,
+        pole_lon=0.0, pole_lat=90.0,  # identity rotation
+    )
+    rho = g.filter("grid_name = 'rho'").collect()
+    lons = sorted(r.lon for r in rho)
+    assert lons[0] < -179 and lons[-1] > 179  # fixture really straddles
+    for r in rho:
+        assert abs(r.angle) < 1e-9, (r.i, r.j, r.lon, r.angle)

@@ -66,3 +66,42 @@ def test_manifest_cas_two_process_race():
         assert sum(results.values()) > 0, results
     finally:
         shutil.rmtree(root)
+
+
+def test_manifest_same_process_instances_never_clobber():
+    """Round-4 review fix: two Manifest instances in ONE process (e.g.
+    two threads) must not generate colliding manifest file names — the
+    pid-only uniquifier used to let a loser overwrite the winner's
+    'immutable' bucket manifest before the CAS fired."""
+    import threading
+
+    from pyofs_spark.lineage import Manifest
+
+    root = tempfile.mkdtemp()
+    try:
+        ms = [Manifest(root) for _ in range(2)]
+        assert ms[0]._token != ms[1]._token
+        errs = []
+
+        def hammer(m, tag):
+            try:
+                for k in range(60):
+                    m.commit(f"{tag}_{k}", {"n": k}, max_retries=500)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=hammer, args=(m, t))
+            for m, t in zip(ms, ("x", "y"))
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(120)
+        assert not errs, errs
+        final = Manifest(root).current()
+        want = {f"{t}_{k}" for t in ("x", "y") for k in range(60)}
+        assert set(final["partitions"]) == want  # nothing clobbered
+        assert final["version"] == 120
+    finally:
+        shutil.rmtree(root)
