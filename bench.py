@@ -169,6 +169,44 @@ def run_headline_repeats(repeats: int = 7, cooldown_sec: float = 15.0) -> None:
     )
 
 
+def run_queries_clean_window(max_attempts: int = 3) -> None:
+    """Default bench entry (round 4): the single-shot suite, self-protected
+    against contaminated windows. Runs the suite in a fresh process (true
+    cold numbers); if the run's hypervisor-steal fraction is >= 2% — the
+    contamination class that made BENCH_r03 read +35% (BENCH/BASELINE.md
+    round-4 forensics) — it retries in a new window, up to max_attempts,
+    and prints the cleanest attempt (all attempts' totals recorded in the
+    JSON so nothing is hidden). Output stays ONE line with the same
+    schema, plus `attempts`."""
+    import subprocess
+
+    attempts = []
+    env = dict(os.environ, PYOFS_BENCH_INNER="1")
+    for k in range(max_attempts):
+        if k:
+            time.sleep(10.0)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, check=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        print(proc.stderr, file=sys.stderr, end="")
+        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        attempts.append(row)
+        if row["steal_frac"] < 0.02:
+            break
+        print(
+            f"# attempt {k}: steal {row['steal_frac']:.2%} >= 2% — "
+            f"contaminated window, retrying",
+            file=sys.stderr,
+        )
+    best = min(attempts, key=lambda r: r["steal_frac"])
+    best["attempts"] = [
+        {"value": r["value"], "steal_frac": r["steal_frac"]} for r in attempts
+    ]
+    print(json.dumps(best))
+
+
 def _force_full_compute(out):
     """Action that materializes every pipeline column (count() would let
     Catalyst prune the kNN arrays and PIP columns)."""
@@ -623,5 +661,7 @@ if __name__ == "__main__":
         extra = sys.argv[i + 1 :]
         reps = int(extra[0]) if extra and extra[0].isdigit() else 7
         run_headline_repeats(reps)
-    else:
+    elif os.environ.get("PYOFS_BENCH_INNER"):
         run_queries()
+    else:
+        run_queries_clean_window()
