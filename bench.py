@@ -114,13 +114,15 @@ def run_headline_repeats(repeats: int = 7, cooldown_sec: float = 15.0) -> None:
     import subprocess
 
     runs = []
+    # children run the RAW single-shot suite (PYOFS_BENCH_INNER): without
+    # it the no-arg dispatch would nest the clean-window retry harness
+    # inside every repeat, turning each sample into a best-of-3
+    env = dict(os.environ, PYOFS_BENCH_INNER="1")
     for k in range(repeats):
         time.sleep(cooldown_sec)
         st0, t0 = _steal_ticks(), time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+        proc = _run_checked(
+            [sys.executable, os.path.abspath(__file__)], env
         )
         wall = time.time() - t0
         steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
@@ -169,6 +171,24 @@ def run_headline_repeats(repeats: int = 7, cooldown_sec: float = 15.0) -> None:
     )
 
 
+def _run_checked(cmd, env):
+    """subprocess.run that PRINTS the child's captured stderr before
+    raising on failure — check=True+capture_output would otherwise
+    swallow the only record of why an inner bench died."""
+    import subprocess
+
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        print(proc.stderr, file=sys.stderr, end="")
+        raise RuntimeError(
+            f"inner bench failed (rc={proc.returncode}); stderr above"
+        )
+    return proc
+
+
 def run_queries_clean_window(max_attempts: int = 3) -> None:
     """Default bench entry (round 4): the single-shot suite, self-protected
     against contaminated windows. Runs the suite in a fresh process (true
@@ -185,25 +205,24 @@ def run_queries_clean_window(max_attempts: int = 3) -> None:
     for k in range(max_attempts):
         if k:
             time.sleep(10.0)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, check=True, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+        proc = _run_checked([sys.executable, os.path.abspath(__file__)], env)
         print(proc.stderr, file=sys.stderr, end="")
         row = json.loads(proc.stdout.strip().splitlines()[-1])
         attempts.append(row)
         if row["steal_frac"] < 0.02:
             break
+        last = k == max_attempts - 1
         print(
             f"# attempt {k}: steal {row['steal_frac']:.2%} >= 2% — "
-            f"contaminated window, retrying",
+            + ("attempts exhausted, reporting cleanest"
+               if last else "contaminated window, retrying"),
             file=sys.stderr,
         )
     best = min(attempts, key=lambda r: r["steal_frac"])
     best["attempts"] = [
         {"value": r["value"], "steal_frac": r["steal_frac"]} for r in attempts
     ]
+    best["window_valid"] = best["steal_frac"] < 0.02
     print(json.dumps(best))
 
 
@@ -380,14 +399,8 @@ def run_scaling_exec(
             for e in range(n_exec)
         ]
         for p in procs:  # wait until every executor reports warm
-            while True:
-                line = p.stdout.readline()
-                if '"ready"' in line:
-                    break
-                if line == "" and p.poll() is not None:
-                    raise RuntimeError(
-                        f"fleet worker died before ready (rc={p.returncode})"
-                    )
+            while '"ready"' not in _read_worker_line(p, "warmup"):
+                pass
         fleet_runs = []
         total = n_exec * pages_per_exec
         for k in range(runs):
@@ -405,12 +418,9 @@ def run_scaling_exec(
                 pass
             worker_secs = []
             for p in procs:
-                line = p.stdout.readline()
-                if line == "":
-                    raise RuntimeError(
-                        f"fleet worker died mid-suite (rc={p.poll()})"
-                    )
-                worker_secs.append(json.loads(line)["sec"])
+                worker_secs.append(
+                    json.loads(_read_worker_line(p, "run"))["sec"]
+                )
             wall = time.time() - t0
             steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
             frac = steal / (32.0 * wall)
@@ -507,14 +517,8 @@ def run_scaling_exec_paired(
             for e in range(n_exec)
         ]
         for p in procs:
-            while True:
-                line = p.stdout.readline()
-                if '"ready"' in line:
-                    break
-                if line == "" and p.poll() is not None:
-                    raise RuntimeError(
-                        f"fleet worker died before ready (rc={p.returncode})"
-                    )
+            while '"ready"' not in _read_worker_line(p, "warmup"):
+                pass
         fleets[n_exec] = (sig, procs)
         print(f"# paired: fleet {n_exec}x4c warm", file=sys.stderr)
 
@@ -528,14 +532,10 @@ def run_scaling_exec_paired(
             t0 = time.time()
             with open(f"{sig}_{k}", "w"):
                 pass
-            secs = []
-            for p in procs:
-                line = p.stdout.readline()
-                if line == "":
-                    raise RuntimeError(
-                        f"fleet worker died mid-pair (rc={p.poll()})"
-                    )
-                secs.append(json.loads(line)["sec"])
+            secs = [
+                json.loads(_read_worker_line(p, "pair"))["sec"]
+                for p in procs
+            ]
             wall = time.time() - t0
             steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
             row[str(n_exec)] = {
@@ -575,6 +575,25 @@ def run_scaling_exec_paired(
             }
         )
     )
+
+
+def _read_worker_line(p, what: str) -> str:
+    """Read one line from a fleet worker, robust to the worker dying while
+    its Spark JVM child keeps the inherited stdout pipe open (readline
+    would then block forever — the pipe never EOFs). Polls with select;
+    raises once the worker process itself is gone and no data remains."""
+    import select
+
+    while True:
+        r, _, _ = select.select([p.stdout], [], [], 5.0)
+        if r:
+            line = p.stdout.readline()
+            if line:
+                return line
+        if p.poll() is not None:
+            raise RuntimeError(
+                f"fleet worker died ({what}, rc={p.returncode})"
+            )
 
 
 def _steal_ticks() -> int:

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import materialize as _materialize
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 FieldFn = Callable[[np.ndarray, np.ndarray, float], tuple[np.ndarray, np.ndarray]]
@@ -190,9 +192,7 @@ def track_contour(
     for s in range(1, n_steps + 1):
         cur = rk_step(cur, field, t0 + (s - 1) * dt, dt, order)
         if s % checkpoint_every == 0:
-            from ..session import materialize
-
-            cur = materialize(cur)
+            cur = _materialize(cur)
         frames.append(cur.withColumn("step", F.lit(s)))
     out = frames[0]
     for fr in frames[1:]:

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import materialize as _materialize
+
 from ..functions import cells
 
 
@@ -148,9 +150,7 @@ def knn_join(
 
     for ring in range(1, max_ring + 1):
         # truncate lineage so each pass doesn't recompute all prior passes
-        from ..session import materialize
-
-        remaining = materialize(remaining)
+        remaining = _materialize(remaining)
         offsets = F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

@@ -61,14 +61,28 @@ def materialize(df):
     Default: `localCheckpoint(eager=False)` — cheapest on the single-node
     bench, but NOT fault-tolerant (an executor loss makes the truncated
     lineage unrecoverable). On a real cluster set
-    PYOFS_DURABLE_MATERIALIZE=1 to use persist(DISK_ONLY) instead:
-    recomputable from source on executor loss, spilled off-heap, the
-    standard durable choice for iterative jobs (carried VERDICT r03
-    finding, closed round 4). One switch so every call site — CTE
-    materialization, iterative kNN/advection/regrid loops, blocked
-    matmul packing — follows the same policy."""
+    PYOFS_DURABLE_MATERIALIZE=1 to use a RELIABLE checkpoint instead:
+    written to the checkpoint dir (set PYOFS_CHECKPOINT_DIR to an HDFS /
+    object-store path in production), recoverable on executor loss, and —
+    critically for the iterative call sites (expanding-ring kNN, RK
+    advection, adaptive regrid) — still a true lineage CUT, so plans
+    don't grow across iterations the way a bare persist() would allow
+    (round-4 review finding: persist neither truncates lineage nor is
+    ever unpersisted here). Enable
+    spark.cleaner.referenceTracking.cleanCheckpoints=true to reap
+    checkpoint files when their DataFrames are garbage collected. One
+    switch so every call site — CTE materialization, iterative loops,
+    blocked matmul packing — follows the same policy."""
     if os.environ.get("PYOFS_DURABLE_MATERIALIZE"):
-        from pyspark import StorageLevel
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
 
-        return df.persist(StorageLevel.DISK_ONLY)
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "PYOFS_CHECKPOINT_DIR",
+                    tempfile.mkdtemp(prefix="pyofs_ckpt_"),
+                )
+            )
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)

@@ -111,13 +111,19 @@ def write_netcdf3(
     for body in bodies:
         offsets.append(pos)
         pos += len(body)
-    with open(path, "wb") as fh:
+    # temp-then-rename: a reader (including the streaming binaryFile
+    # source watching this directory) never sees a half-written granule
+    import os as _os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         for h in header:
             fh.write(h)
         for meta, off in zip(metas, offsets):
             fh.write(meta + struct.pack(">i", off))
         for body in bodies:
             fh.write(body)
+    _os.replace(tmp, path)
 
 
 def read_netcdf3(path: str) -> dict:

@@ -75,7 +75,12 @@ def stream_netcdf3_grid(
     as a real Structured Streaming source: the stream composes with the
     engine's windowed daily aggregation (streaming/daily.py) so
     granule-arrival → rollup needs no orchestration glue. Stateless
-    decode → any watermark/window downstream owns the event-time story."""
+    decode → any watermark/window downstream owns the event-time story.
+
+    Producers must publish granules ATOMICALLY (write to a temp name,
+    then rename — write_netcdf3 does this since round 4; the glob
+    excludes its '.tmp' suffix): the file source lists whatever matches,
+    and a half-written granule would fail the decode for that batch."""
     # streaming file sources require an explicit schema; binaryFile's is
     # fixed by the format
     rs = (
