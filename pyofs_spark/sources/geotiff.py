@@ -36,9 +36,16 @@ def write_geotiff(
 ) -> None:
     """data: (h, w) float32, row 0 = NORTHMOST row (north-up contract,
     ref wcofs.py:658-659 flips ascending-lat arrays before writing);
-    (west, north) = outer corner of pixel (0, 0); dx, dy positive."""
-    with open(path, "wb") as fh:
+    (west, north) = outer corner of pixel (0, 0); dx, dy positive.
+
+    Published atomically (temp-then-rename) so a streaming binaryFile
+    source watching the directory never lists a half-written raster."""
+    import os as _os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         fh.write(geotiff_bytes(data, west, north, dx, dy, nodata))
+    _os.replace(tmp, path)
 
 
 def geotiff_bytes(

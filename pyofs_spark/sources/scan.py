@@ -146,6 +146,30 @@ def _netcdf_decoder(variables: list[str] | None):
     return _decode
 
 
+def stream_geotiff_raster(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tif",
+    max_files_per_trigger: int | None = None,
+):
+    """STREAMING GeoTIFF raster ingest — the GeoTIFF twin of
+    stream_netcdf3_grid (same binaryFile readStream shape, same atomic-
+    publish requirement on producers, same exactly-once-per-file
+    semantics via the file-source log)."""
+    rs = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bin_df = rs.load(path).select("path", "content")
+    return bin_df.mapInPandas(_geotiff_decoder(), _GRID_SCHEMA)
+
+
 def read_geotiff_raster(
     spark: SparkSession, path: str, glob: str = "*.tif"
 ) -> DataFrame:
@@ -158,6 +182,17 @@ def read_geotiff_raster(
     GeoTIFF read round-trips bit-for-bit against the cells that produced
     it: j = (h-1) - raster_row, lat = south + j*dy, lon = west + i*dx.
     Nodata cells surface as NULL."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return bin_df.mapInPandas(_geotiff_decoder(), _GRID_SCHEMA)
+
+
+def _geotiff_decoder():
+    """mapInPandas decode kernel shared by the batch scan and the stream."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geotiff import read_geotiff_bytes
@@ -187,10 +222,4 @@ def read_geotiff_raster(
                     }
                 )
 
-    bin_df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-        .select("path", "content")
-    )
-    return bin_df.mapInPandas(_decode, _GRID_SCHEMA)
+    return _decode

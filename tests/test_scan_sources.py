@@ -178,3 +178,59 @@ def test_streaming_netcdf_granule_pickup(spark):
         shutil.rmtree(d)
         shutil.rmtree(chk)
         shutil.rmtree(sink)
+
+
+def test_streaming_geotiff_granule_pickup(spark):
+    """GeoTIFF twin of the NetCDF streaming test: incremental pickup,
+    exactly once per file, batch/stream decode parity."""
+    import numpy as np
+
+    from pyofs_spark.sources.scan import (
+        read_geotiff_raster, stream_geotiff_raster,
+    )
+    from pyofs_spark.sources.sinks import export_raster_geotiff
+
+    d, chk, sink = (tempfile.mkdtemp() for _ in range(3))
+    try:
+        cells = spark.createDataFrame(
+            [(0, 0, 1.5), (1, 1, 2.5)], "i int, j int, mean_val double"
+        )
+        export_raster_geotiff(
+            cells, os.path.join(d, "t1.tif"),
+            west=0.0, south=0.0, dx=1.0, dy=1.0, n_i=2, n_j=2,
+        )
+
+        def run_trigger():
+            q = (
+                stream_geotiff_raster(spark, d)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+
+        run_trigger()
+        assert spark.read.parquet(sink).count() == 4
+        export_raster_geotiff(
+            cells, os.path.join(d, "t2.tif"),
+            west=0.0, south=0.0, dx=1.0, dy=1.0, n_i=2, n_j=2,
+        )
+        run_trigger()
+        streamed = {
+            (os.path.basename(r.path), r.i, r.j, r.value)
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert len(streamed) == 8
+        # stream decode == batch decode, per cell
+        batch = {
+            (os.path.basename(r.path), r.i, r.j, r.value)
+            for r in read_geotiff_raster(spark, d).collect()
+        }
+        assert streamed == batch
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        for x in (d, chk, sink):
+            shutil.rmtree(x)
