@@ -155,7 +155,15 @@ def read_aaigrid(path: str) -> dict:
     """Parse an AAIGrid file → {data (north-up), west, south, cellsize,
     nodata}."""
     with open(path) as fh:
-        lines = fh.read().split("\n")
+        return read_aaigrid_bytes(fh.read())
+
+
+def read_aaigrid_bytes(text) -> dict:
+    """Parse AAIGrid content (str or bytes) — kernel behind the path
+    reader and the Spark binaryFile scan source (scan.py)."""
+    if isinstance(text, (bytes, bytearray)):
+        text = bytes(text).decode()
+    lines = text.split("\n")
     hdr = {}
     i = 0
     # bound the header scan to the six known AAIGrid keys so a data row

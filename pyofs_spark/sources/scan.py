@@ -223,3 +223,51 @@ def _geotiff_decoder():
                 )
 
     return _decode
+
+
+def read_aaigrid_raster(
+    spark: SparkSession, path: str, glob: str = "*.asc"
+) -> DataFrame:
+    """Scan Arc/Info ASCII Grid rasters → long-form cell DataFrame
+    (path, variable, i, j, lon, lat, value) — the third raster format the
+    reference writes (driver='AAIGrid', wcofs.py:645-711), readable
+    through the same binaryFile + mapInPandas shape as GeoTIFF/NetCDF.
+    AAIGrid's (xllcorner, yllcorner) anchor the CELL CORNER of the
+    south-west cell; cell-center coords are emitted (corner + (k+0.5)·cs),
+    rows un-flipped to ascending-lat j. Nodata → NULL."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geotiff import read_aaigrid_bytes
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                g = read_aaigrid_bytes(bytes(content))
+                data = g["data"].astype(np.float64)
+                h, w = data.shape
+                if g["nodata"] is not None:
+                    data = np.where(data == g["nodata"], np.nan, data)
+                grid = data[::-1]  # ascending-lat row order
+                cs = g["cellsize"]
+                jj, ii = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                stem = path_.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                yield pd.DataFrame(
+                    {
+                        "path": path_,
+                        "variable": stem,
+                        "i": ii.ravel().astype(np.int32),
+                        "j": jj.ravel().astype(np.int32),
+                        "lon": g["west"] + (ii.ravel() + 0.5) * cs,
+                        "lat": g["south"] + (jj.ravel() + 0.5) * cs,
+                        "value": grid.ravel(),
+                    }
+                )
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return bin_df.mapInPandas(_decode, _GRID_SCHEMA)

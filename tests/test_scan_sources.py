@@ -234,3 +234,28 @@ def test_streaming_geotiff_granule_pickup(spark):
             q.stop()
         for x in (d, chk, sink):
             shutil.rmtree(x)
+
+
+def test_aaigrid_spark_scan(spark):
+    """Third raster format through the Spark scan shape: AAIGrid cells
+    with cell-center coords, un-flipped j, nodata → NULL."""
+    from pyofs_spark.sources.geotiff import write_aaigrid
+    from pyofs_spark.sources.scan import read_aaigrid_raster
+
+    d = tempfile.mkdtemp()
+    try:
+        a = np.array([[9.0, -9999.0], [1.0, 2.0]])  # north-up rows
+        write_aaigrid(
+            os.path.join(d, "dem.asc"), a, west=10.0, south=40.0,
+            cellsize=2.0,
+        )
+        got = {(r.i, r.j): r for r in read_aaigrid_raster(spark, d).collect()}
+        assert len(got) == 4
+        # north-up row 0 = top → j=1 after unflip
+        assert got[(0, 1)].value == 9.0 and got[(1, 1)].value is None
+        assert got[(0, 0)].value == 1.0 and got[(1, 0)].value == 2.0
+        r = got[(1, 0)]
+        assert r.variable == "dem"
+        assert (r.lon, r.lat) == (10.0 + 1.5 * 2.0, 40.0 + 0.5 * 2.0)
+    finally:
+        shutil.rmtree(d)
