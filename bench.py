@@ -17,6 +17,11 @@ import os
 import sys
 import time
 
+# Steal fractions are VM-wide: normalize by the host's full core count
+# (ADVICE r4: a hardcoded 32.0 miscalibrated the 2% clean gate on other
+# hosts). SPARK_GRAFT_CPUS only sizes the Spark pool, not the VM.
+HOST_CPUS = float(os.cpu_count() or 32)
+
 HEADLINE = [
     "geo_tile_assign",
     "geo_knn_stations",
@@ -73,7 +78,7 @@ def run_queries() -> None:
         # burst contaminated (round-4 protocol; steal<2% = clean)
         wall = time.time() - (t0 - dt) if dt else 1.0
         steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
-        steal_fracs[name] = round(steal / (32.0 * max(wall, 1e-9)), 4)
+        steal_fracs[name] = round(steal / (HOST_CPUS * max(wall, 1e-9)), 4)
         print(
             f"# {name}: {n} rows in {dt:.2f}s (warm {warm[name]:.2f}s, "
             f"steal {steal_fracs[name]:.2%})",
@@ -91,7 +96,7 @@ def run_queries() -> None:
                 "queries": times,
                 "queries_warm": warm,
                 "queries_steal_frac": steal_fracs,
-                "steal_frac": round(steal_all / (32.0 * wall_all), 4),
+                "steal_frac": round(steal_all / (HOST_CPUS * wall_all), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -127,7 +132,7 @@ def run_headline_repeats(repeats: int = 7, cooldown_sec: float = 15.0) -> None:
         wall = time.time() - t0
         steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
         row = json.loads(proc.stdout.strip().splitlines()[-1])
-        row["run_steal_frac"] = round(steal / (32.0 * wall), 4)
+        row["run_steal_frac"] = round(steal / (HOST_CPUS * wall), 4)
         row["run_wall"] = round(wall, 1)
         runs.append(row)
         print(
@@ -282,7 +287,7 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
         steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
         # steal is VM-wide (32 cpus): normalize to the fraction of total
         # host capacity stolen during the run window
-        frac = steal / (32.0 * dt) if dt > 0 else 0.0
+        frac = steal / (HOST_CPUS * dt) if dt > 0 else 0.0
         runs_info.append(
             {
                 "sec": round(dt, 2),
@@ -423,7 +428,7 @@ def run_scaling_exec(
                 )
             wall = time.time() - t0
             steal = (_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK")
-            frac = steal / (32.0 * wall)
+            frac = steal / (HOST_CPUS * wall)
             fleet_runs.append(
                 {
                     "makespan": round(wall, 2),
@@ -541,7 +546,7 @@ def run_scaling_exec_paired(
             row[str(n_exec)] = {
                 "makespan": round(wall, 2),
                 "worker_secs": secs,
-                "steal_frac": round(steal / (32.0 * wall), 4),
+                "steal_frac": round(steal / (HOST_CPUS * wall), 4),
             }
         row["eff"] = round(row["1"]["makespan"] / row["4"]["makespan"], 3)
         row["clean"] = (
