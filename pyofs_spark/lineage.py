@@ -176,12 +176,17 @@ class Manifest:
         between claiming v{N} and finishing its 1-line write can wedge
         the version (a real catalog's CAS is transactional); retries
         surface that as RuntimeError rather than corrupting state."""
-        for _ in range(max_retries + 1):
+        # exponential backoff with full jitter (ADVICE r4: a fixed 2 ms
+        # sleep gave max_retries=64 only ~130 ms of contention budget);
+        # capped at 100 ms so 64 retries tolerate multi-second contention
+        import random
+
+        for attempt in range(max_retries + 1):
             try:
                 return self._commit_once(part_key, entry)
             except FileExistsError:
                 self.collisions += 1
-                time.sleep(0.002)
+                time.sleep(random.uniform(0, min(0.1, 0.002 * 2**attempt)))
         raise RuntimeError(
             f"manifest version collision persisted after {max_retries} retries"
         )
@@ -193,6 +198,8 @@ class Manifest:
         uniq = f"{self._token}_{next(self._seq)}"
         manifests = dict(snap["manifests"])
         mbytes = 0
+        written: list[str] = []  # this attempt's manifest files, for
+        # unlink-on-CAS-loss (ADVICE r4: losing racers orphaned them)
         legacy = snap.get("_legacy_partitions")
         if legacy:
             # one-time migration of a pre-round-3 inline snapshot: spread
@@ -206,6 +213,7 @@ class Manifest:
                 with open(os.path.join(self.dir, mn), "w") as fh:
                     mbytes += fh.write(json.dumps(bmap))
                 manifests[str(bb)] = mn
+                written.append(mn)
         b = self._bucket(part_key)
         bucket_map = (
             self._read(manifests[str(b)]) if str(b) in manifests else {}
@@ -215,6 +223,7 @@ class Manifest:
         with open(os.path.join(self.dir, mname), "w") as fh:
             mbytes += fh.write(json.dumps(bucket_map))
         manifests[str(b)] = mname
+        written.append(mname)
         new = {
             "version": version,
             "parent_version": snap["version"],
@@ -222,8 +231,18 @@ class Manifest:
         }
         # the CAS: exclusive create of the version file. Losing racer
         # raises FileExistsError before any shared state moved.
-        with open(vpath, "x") as fh:
-            vbytes = fh.write(json.dumps(new))
+        try:
+            with open(vpath, "x") as fh:
+                vbytes = fh.write(json.dumps(new))
+        except FileExistsError:
+            # lost the race: this attempt's manifests are unreachable from
+            # any snapshot — remove them instead of orphaning them forever
+            for mn in written:
+                try:
+                    os.unlink(os.path.join(self.dir, mn))
+                except OSError:
+                    pass
+            raise
         tmp = os.path.join(self.dir, f".current.{uniq}.tmp")
         with open(tmp, "w") as fh:
             json.dump(new, fh)

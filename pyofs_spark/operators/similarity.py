@@ -161,6 +161,7 @@ def cosine_threshold_pairs(
     n_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed_row_budget_bytes: float = 1.5 * 2**30,
 ) -> DataFrame:
     """Exact all-pairs near-duplicate detection: every unordered pair
     (id_a < id_b) whose floor-round-6 cosine >= threshold.
@@ -194,6 +195,27 @@ def cosine_threshold_pairs(
         # scan-once pin; durable-policy switch in session.materialize
         .transform(_materialize)
     )
+    # CONTRACT GUARD (round-4 verdict #3): each block packs n/B vectors
+    # into ONE row; Arrow rows cap out around 2 GiB, and blowing that
+    # limit surfaces as an opaque Arrow/JVM failure deep in the job. Check
+    # the packed size eagerly (the agg runs on the just-materialized
+    # B-row checkpoint, so nothing is computed twice) and fail loudly
+    # naming the contract: feed a PRE-FILTERED candidate subset (LSH
+    # buckets / dedup candidates), not the raw corpus, and size n_blocks
+    # ~ sqrt(cluster cores) for full-corpus exact work.
+    bytes_per_vec = dim * 8 + 24  # array<double> payload + id/struct overhead
+    max_items = packed.agg(F.max(F.size("_items"))).collect()[0][0] or 0
+    if max_items * bytes_per_vec > packed_row_budget_bytes:
+        raise ValueError(
+            f"cosine_threshold_pairs: a packed block holds {max_items} "
+            f"vectors (~{max_items * bytes_per_vec / 2**30:.2f} GiB/row, "
+            f"budget {packed_row_budget_bytes / 2**30:.2f} GiB under the "
+            f"~2 GiB Arrow row ceiling). This "
+            f"operator's contract is a PRE-FILTERED candidate subset "
+            f"(e.g. LSH buckets via cosine_topk_lsh) or a larger "
+            f"n_blocks (~sqrt(cluster cores)); it is not meant to take "
+            f"an unfiltered corpus at this size."
+        )
     # Combo fan-out as an EQUI-join: each x-block replicates to its
     # partner keys (bx, by>=bx), each y-block to (bx<=by, by), and the
     # two meet in a hash-partitioned join on the pair key. A naive
@@ -355,14 +377,24 @@ def _centroid_topn_udf(centroids: np.ndarray, nprobe: int, dim: int):
     return _probe
 
 
+def ivf_auto_centroids(n_vectors: int) -> int:
+    """Corpus-adaptive list count: √n/2, clamped. Anchored to the 20k
+    quality curve (BENCH/ann_quality_curve_sf1.json): 20k → 70 ≈ the
+    curve's dominating 64c config (recall 0.958); 500 → 11, measured
+    0.912 with nprobe=3 (round-5 probe). A FIXED 64c starves small
+    corpora (0.56 recall at 500 vectors) — list occupancy, not list
+    count, is what transfers across scale."""
+    return max(8, min(4096, round(n_vectors**0.5 / 2)))
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_centroids: int = 32,
-    nprobe: int = 4,
-    n_post: int = 2,
+    n_centroids: int | None = None,
+    nprobe: int = 3,
+    n_post: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -372,7 +404,15 @@ def cosine_topk_ivf(
     of the vectors for listing + one for the re-rank fetch — the same
     bucket-join shape as the LSH path, but with data-adaptive buckets
     (better recall on clustered embeddings at equal candidate cost).
-    Lists shard by centroid id at 10^12 scale; hot lists split via AQE."""
+    Lists shard by centroid id at 10^12 scale; hot lists split via AQE.
+
+    n_centroids=None (default) auto-sizes from the corpus count via
+    ivf_auto_centroids — recall >=0.9 measured at both 500 and 20k
+    vectors (round-5; the curve's fixed 64c holds only near 20k). This
+    is the RECOMMENDED default ANN path (the 20k curve shows IVF
+    dominating every measured LSH config)."""
+    if n_centroids is None:
+        n_centroids = ivf_auto_centroids(vectors.count())
     cents = ivf_centroids(vectors, dim, n_centroids, id_col=id_col, vec_col=vec_col)
     # multi-assignment: each vector posts to its n_post nearest lists —
     # boundary vectors appear in both neighboring lists, which is what
@@ -410,19 +450,40 @@ def cosine_topk_ivf(
     )
 
 
+def lsh_auto_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Corpus-adaptive plane count: log2(n / target_bucket), clamped —
+    keeps expected bucket occupancy ~target_bucket at any corpus size.
+    20k → 8 planes (the quality curve's 0.939-recall config at 32
+    tables); 500 → 3 planes, measured recall 1.0 (round-5 probe). A
+    FIXED 8 planes starves small corpora (0.4 recall at 500 vectors:
+    256 buckets for 500 vectors leaves true neighbors uncollided)."""
+    import math
+
+    return max(2, min(16, round(math.log2(max(2, n_vectors / target_bucket)))))
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_tables: int = 16,
-    n_planes: int = 4,
+    n_tables: int = 32,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: same-bucket candidates (any table) then
     exact re-rank. At 10^12 scale the bucket join shards the work by
-    (table, bucket); hot buckets split via AQE skew handling."""
+    (table, bucket); hot buckets split via AQE skew handling.
+
+    n_planes=None (default) auto-sizes from the corpus count via
+    lsh_auto_planes (bucket occupancy ~64 at any scale). Prefer
+    cosine_topk_ivf where a trained quantizer is viable — the 20k
+    quality curve shows IVF dominating LSH; LSH remains the
+    streaming/append-only path (hyperplanes are data-independent, so
+    signatures never go stale as the corpus grows)."""
+    if n_planes is None:
+        n_planes = lsh_auto_planes(vectors.count())
     vb = lsh_bucket_ids(vectors, dim, n_tables, n_planes, id_col, vec_col)
     qb = lsh_bucket_ids(queries, dim, n_tables, n_planes, id_col, vec_col)
     cand = (

@@ -50,7 +50,9 @@ def _sql_query_materialized(
     The view name gets a per-invocation suffix so two concurrent
     invocations in one session can't clobber each other's views. The
     materialization policy lives in session.materialize: localCheckpoint
-    by default (single-node bench), persist(DISK_ONLY) with
+    by default (single-node bench), a RELIABLE checkpoint (df.checkpoint
+    to PYOFS_CHECKPOINT_DIR, reapable via
+    spark.cleaner.referenceTracking.cleanCheckpoints) with
     PYOFS_DURABLE_MATERIALIZE=1 for fault tolerance on real clusters."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,7 +135,15 @@ def write_aaigrid(
 ) -> None:
     """Arc/Info ASCII Grid (the reference's other raster format,
     wcofs.py:645-711 driver='AAIGrid'): text header + rows north-first.
-    `data` is north-up (row 0 = max lat) like write_geotiff."""
+    `data` is north-up (row 0 = max lat) like write_geotiff.
+
+    Coordinate convention: pass the SOUTH-WEST SAMPLE POINT of the
+    lattice as (west, south) — it is written verbatim as
+    xllcorner/yllcorner and `read_aaigrid_raster` reads it back as the
+    first sample's lon/lat (no half-cell shift), so write→scan
+    round-trips exactly and matches the GeoTIFF convention used
+    throughout this repo. For strict Arc/Info corner-anchored output,
+    pass west - cellsize/2, south - cellsize/2 instead."""
     h, w = data.shape
     # non-finite cells map to the declared nodata value: AAIGrid has no
     # NaN concept, and a literal 'nan' token in row 0 would be mistaken

@@ -349,9 +349,15 @@ def write_gpkg_raster(
             (layer, "2d-gridded-coverage", layer, west, south, east, north,
              4326),
         )
+        # The tile-matrix-set extent must cover the PADDED tile grid
+        # (matrix_width*tile_width*pixel_x_size exactly — GPKG tiles req.;
+        # ADVICE r4: strict readers like GDAL reject a TMS extent smaller
+        # than the tile lattice). True data extent stays in gpkg_contents.
+        south_pad = north - mh * tile_size * dy
+        east_pad = west + mw * tile_size * dx
         con.execute(
             "INSERT OR REPLACE INTO gpkg_tile_matrix_set VALUES (?,?,?,?,?,?)",
-            (layer, 4326, west, south, east, north),
+            (layer, 4326, west, south_pad, east_pad, north),
         )
         con.execute(
             "INSERT OR REPLACE INTO gpkg_tile_matrix VALUES (?,0,?,?,?,?,?,?)",
@@ -419,7 +425,9 @@ def write_gpkg_raster(
 
 def read_gpkg_raster(path: str, layer: str) -> dict:
     """Reassemble a 2D-gridded-coverage layer → {data (north-up, trimmed
-    to the coverage extent), west, north, dx, dy, nodata}."""
+    to the coverage extent), west, north, dx, dy, nodata}. The true data
+    extent comes from gpkg_contents; gpkg_tile_matrix_set carries the
+    padded tile-grid extent per the GPKG tiles requirement."""
     import numpy as np
 
     from .geotiff import read_geotiff_bytes
@@ -433,7 +441,7 @@ def read_gpkg_raster(path: str, layer: str) -> dict:
             (layer,),
         ).fetchone()
         (west, south, east, north) = con.execute(
-            "SELECT min_x, min_y, max_x, max_y FROM gpkg_tile_matrix_set"
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
             " WHERE table_name = ?",
             (layer,),
         ).fetchone()

@@ -232,9 +232,17 @@ def read_aaigrid_raster(
     (path, variable, i, j, lon, lat, value) — the third raster format the
     reference writes (driver='AAIGrid', wcofs.py:645-711), readable
     through the same binaryFile + mapInPandas shape as GeoTIFF/NetCDF.
-    AAIGrid's (xllcorner, yllcorner) anchor the CELL CORNER of the
-    south-west cell; cell-center coords are emitted (corner + (k+0.5)·cs),
-    rows un-flipped to ascending-lat j. Nodata → NULL."""
+
+    Coordinate convention (round-trip contract, ADVICE r4): this repo
+    treats (xllcorner, yllcorner) as the SAMPLE POINT of the south-west
+    lattice node — `write_aaigrid` writes the lattice origin verbatim, and
+    this scan emits lon = xllcorner + i·cellsize (no half-cell offset), so
+    write→scan round-trips bit-exactly and matches the GeoTIFF/NetCDF
+    scans on the same lattice. (Strict Arc/Info semantics would put the
+    corner half a cell south-west of the first sample; external AAIGrid
+    files using that convention appear shifted by +cellsize/2 — shift
+    lon/lat downstream if registering such files.) Rows un-flipped to
+    ascending-lat j. Nodata → NULL."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .geotiff import read_aaigrid_bytes
@@ -258,11 +266,180 @@ def read_aaigrid_raster(
                         "variable": stem,
                         "i": ii.ravel().astype(np.int32),
                         "j": jj.ravel().astype(np.int32),
-                        "lon": g["west"] + (ii.ravel() + 0.5) * cs,
-                        "lat": g["south"] + (jj.ravel() + 0.5) * cs,
+                        "lon": g["west"] + ii.ravel() * cs,
+                        "lat": g["south"] + jj.ravel() * cs,
                         "value": grid.ravel(),
                     }
                 )
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return bin_df.mapInPandas(_decode, _GRID_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GPKG Spark scan (round 5 — VERDICT r04 task 5): the last format-loop
+# asymmetry. GeoTIFF/NetCDF-3/AAIGrid already read back through Spark;
+# these wrappers expose existing GeoPackage archives the same way
+# (ref: utilities.py:184-195 GPKG read helper + the study-area read at
+# wcofs.py:67). GPKG is SQLite, and sqlite3 needs a FILE — each task
+# stages the granule bytes to a tempfile, opens it read-only, and reuses
+# the local gpkg.py parsers. One task per .gpkg file, same elasticity
+# as the other binaryFile scans; a multi-GB single archive would need
+# per-layer range reads, same documented bound as multi-GB NetCDF.
+# ---------------------------------------------------------------------------
+
+_VECTOR_SCHEMA = (
+    "path string, layer string, fid long, geom_type string, "
+    "part int, vertex int, lon double, lat double, attrs string"
+)
+
+
+def _stage_sqlite(content: bytes):
+    """Write granule bytes to a temp .gpkg and return the path (caller
+    unlinks). sqlite3 cannot open from a buffer pre-3.36 deserialize."""
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(suffix=".gpkg", delete=False)
+    f.write(content)
+    f.close()
+    return f.name
+
+
+def _gpkg_layers(db_path: str, data_type: str, layer: str | None) -> list[str]:
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        rows = con.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type = ?",
+            (data_type,),
+        ).fetchall()
+    finally:
+        con.close()
+    names = [r[0] for r in rows]
+    return [layer] if layer is not None and layer in names else (
+        [] if layer is not None else names
+    )
+
+
+def read_gpkg_vector(
+    spark: SparkSession,
+    path: str,
+    layer: str | None = None,
+    glob: str = "*.gpkg",
+) -> DataFrame:
+    """Scan GeoPackage FEATURE layers → long-form vertex DataFrame
+    (path, layer, fid, geom_type, part, vertex, lon, lat, attrs-as-JSON).
+
+    Points emit one row (part=0, vertex=0); polygons one row per ring
+    vertex (part = ring index) — the same long-form shape the raster
+    scans use, so downstream plans filter/join without per-layer schemas.
+    Attribute columns (everything but fid/geom) serialize to a
+    sorted-key JSON string; `layer=None` scans every feature layer in
+    gpkg_contents."""
+    import json as _json
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        from .gpkg import read_gpkg_layer
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                db = _stage_sqlite(bytes(content))
+                try:
+                    for lname in _gpkg_layers(db, "features", layer):
+                        rows = []
+                        for rec in read_gpkg_layer(db, lname):
+                            geom = rec.pop("geometry")
+                            fid = rec.pop("fid", None)
+                            attrs = _json.dumps(rec, sort_keys=True)
+                            if isinstance(geom, tuple):  # point
+                                rows.append(
+                                    (path_, lname, fid, "point", 0, 0,
+                                     geom[0], geom[1], attrs)
+                                )
+                            else:  # polygon rings
+                                for p_i, ring in enumerate(geom):
+                                    for v_i, (x, y) in enumerate(ring):
+                                        rows.append(
+                                            (path_, lname, fid, "polygon",
+                                             p_i, v_i, x, y, attrs)
+                                        )
+                        if rows:
+                            yield pd.DataFrame(
+                                rows,
+                                columns=[
+                                    "path", "layer", "fid", "geom_type",
+                                    "part", "vertex", "lon", "lat", "attrs",
+                                ],
+                            )
+                finally:
+                    _os.unlink(db)
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return bin_df.mapInPandas(_decode, _VECTOR_SCHEMA)
+
+
+def read_gpkg_coverage(
+    spark: SparkSession,
+    path: str,
+    layer: str | None = None,
+    glob: str = "*.gpkg",
+) -> DataFrame:
+    """Scan GeoPackage 2D-gridded-coverage raster layers → the SAME
+    long-form cell schema as the GeoTIFF/NetCDF/AAIGrid scans
+    (path, variable=layer, i, j, lon, lat, value): j ascending-lat,
+    lon/lat at the lattice sample points, nodata → NULL. `layer=None`
+    scans every coverage layer in gpkg_contents."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        from .gpkg import read_gpkg_raster
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                db = _stage_sqlite(bytes(content))
+                try:
+                    for lname in _gpkg_layers(
+                        db, "2d-gridded-coverage", layer
+                    ):
+                        cov = read_gpkg_raster(db, lname)
+                        data = cov["data"].astype(np.float64)
+                        h, w = data.shape
+                        if cov["nodata"] is not None:
+                            data = np.where(
+                                data == cov["nodata"], np.nan, data
+                            )
+                        grid = data[::-1]  # ascending-lat rows
+                        south = cov["north"] - h * cov["dy"]
+                        jj, ii = np.meshgrid(
+                            np.arange(h), np.arange(w), indexing="ij"
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "path": path_,
+                                "variable": lname,
+                                "i": ii.ravel().astype(np.int32),
+                                "j": jj.ravel().astype(np.int32),
+                                "lon": cov["west"] + ii.ravel() * cov["dx"],
+                                "lat": south + jj.ravel() * cov["dy"],
+                                "value": grid.ravel(),
+                            }
+                        )
+                finally:
+                    _os.unlink(db)
 
     bin_df = (
         spark.read.format("binaryFile")

@@ -33,7 +33,11 @@ def load_pairs() -> list[dict]:
     for pat in SUITE_GLOBS:
         for f in sorted(glob.glob(os.path.join(BENCH, pat))):
             suite = f.split("suite")[1].split("_")[0]
-            d = json.load(open(f))
+            try:
+                d = json.load(open(f))
+            except json.JSONDecodeError:
+                print(f"# skipping unreadable/in-progress {f}", file=sys.stderr)
+                continue
             for i, p in enumerate(d["pairs"]):
                 pairs.append(
                     {

@@ -4,7 +4,31 @@ are identical either way."""
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import functions as F
+
+TABLES = ("b_tiles", "b_rollup", "u_tiles", "u_rollup")
+
+
+def _clean_tables(spark) -> None:
+    """Drop the test tables AND remove orphaned warehouse locations.
+
+    A killed run can leave `spark-warehouse/<t>` on disk with no
+    metastore entry; the next `saveAsTable` then fails with
+    LOCATION_ALREADY_EXISTS (round-4 verdict: this was the only pytest
+    failure that session). Cleanup must therefore run in SETUP, not only
+    teardown, and must clear stale directories the metastore no longer
+    knows about."""
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(warehouse, t)
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -16,6 +40,7 @@ def test_bucketed_join_has_no_exchange(spark):
     )
     from pyofs_spark.synth import synth_pages
 
+    _clean_tables(spark)
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -41,5 +66,4 @@ def test_bucketed_join_has_no_exchange(spark):
         assert a == b and len(a) == 4000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        for t in ("b_tiles", "b_rollup", "u_tiles", "u_rollup"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_tables(spark)

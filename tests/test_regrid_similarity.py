@@ -103,11 +103,13 @@ def test_lsh_recall_vs_brute(spark):
     vecs = _pdvecs(spark)
     queries = vecs.filter(F.col("vec_id") % 20 == 0)
     brute = cosine_topk_bruteforce(vecs, queries, k=5)
-    approx = cosine_topk_lsh(vecs, queries, k=5, dim=64, n_tables=16, n_planes=4)
+    # corpus-adaptive default (round 5): 32 tables, auto planes — lands
+    # on the quality curve's 32x8 config at 20k vectors, 32x3 here
+    approx = cosine_topk_lsh(vecs, queries, k=5, dim=64)
     b = {(r.qid, r.cid) for r in brute.collect()}
     a = {(r.qid, r.cid) for r in approx.collect()}
     recall = len(a & b) / len(b)
-    assert recall >= 0.8, recall  # 16 tables x 4 planes on the labeled clusters
+    assert recall >= 0.9, recall
 
 
 def test_multimodal_features(spark):
@@ -145,16 +147,16 @@ def test_ivf_recall_vs_brute(spark):
     vecs = _pdvecs(spark)
     queries = vecs.filter(F.col("vec_id") % 20 == 0)
     brute = cosine_topk_bruteforce(vecs, queries, k=5)
-    approx = cosine_topk_ivf(
-        vecs, queries, k=5, dim=64, n_centroids=16, nprobe=4, n_post=3
-    )
+    # corpus-adaptive default (round 5): auto centroids ~sqrt(n)/2 —
+    # lands near the quality curve's dominating 64c config at 20k
+    approx = cosine_topk_ivf(vecs, queries, k=5, dim=64)
     b = {(r.qid, r.cid) for r in brute.collect()}
     a = {(r.qid, r.cid) for r in approx.collect()}
     recall = len(a & b) / len(b)
-    assert recall >= 0.8, recall
+    assert recall >= 0.9, recall
     # determinism: the quantizer is seeded by the data, not an RNG
     again = {(r.qid, r.cid) for r in cosine_topk_ivf(
-        vecs, queries, k=5, dim=64, n_centroids=16, nprobe=4, n_post=3
+        vecs, queries, k=5, dim=64
     ).collect()}
     assert a == again
 
@@ -196,3 +198,28 @@ def test_cosine_threshold_pairs_exact_and_plan(spark):
     # shuffle join, not a nested-loop broadcast of the packed corpus
     assert "BroadcastNestedLoopJoin" not in plan
     assert "IdentityBroadcastMode" not in plan
+
+
+def test_threshold_pairs_packed_row_budget_guard(spark):
+    """Round-4 verdict #3: an input whose packed blocks would blow the
+    ~2 GiB Arrow row ceiling must fail LOUDLY at submit time with the
+    LSH-prefilter contract named, not deep inside Arrow."""
+    import pytest
+
+    from pyofs_spark.operators.similarity import cosine_threshold_pairs
+
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(8)]).alias("embedding"),
+    )
+    # 64 vectors / 2 blocks = 32/block; 32*(8*8+24) = 2816 B > 2048 budget
+    with pytest.raises(ValueError, match="PRE-FILTERED candidate subset"):
+        cosine_threshold_pairs(
+            vecs, threshold=0.9, dim=8, n_blocks=2,
+            packed_row_budget_bytes=2048,
+        )
+    # same input under the default budget still works end-to-end
+    assert (
+        cosine_threshold_pairs(vecs, threshold=-1.0, dim=8, n_blocks=2)
+        .count() == 64 * 63 // 2
+    )

@@ -238,7 +238,9 @@ def test_streaming_geotiff_granule_pickup(spark):
 
 def test_aaigrid_spark_scan(spark):
     """Third raster format through the Spark scan shape: AAIGrid cells
-    with cell-center coords, un-flipped j, nodata → NULL."""
+    with lattice coords (write→scan round-trips the sample points
+    verbatim, same convention as GeoTIFF — ADVICE r4), un-flipped j,
+    nodata → NULL."""
     from pyofs_spark.sources.geotiff import write_aaigrid
     from pyofs_spark.sources.scan import read_aaigrid_raster
 
@@ -256,6 +258,84 @@ def test_aaigrid_spark_scan(spark):
         assert got[(0, 0)].value == 1.0 and got[(1, 0)].value == 2.0
         r = got[(1, 0)]
         assert r.variable == "dem"
-        assert (r.lon, r.lat) == (10.0 + 1.5 * 2.0, 40.0 + 0.5 * 2.0)
+        assert (r.lon, r.lat) == (10.0 + 1 * 2.0, 40.0 + 0 * 2.0)
+    finally:
+        shutil.rmtree(d)
+
+
+def test_gpkg_vector_spark_scan_roundtrip(spark):
+    """write_gpkg_points / write_gpkg_polygons → Spark scan read-back →
+    identical rows (round 5 — the last format-loop asymmetry)."""
+    import json
+
+    from pyofs_spark.sources.gpkg import write_gpkg_points, write_gpkg_polygons
+    from pyofs_spark.sources.scan import read_gpkg_vector
+
+    d = tempfile.mkdtemp()
+    try:
+        pts = spark.createDataFrame(
+            [(-125.0, 40.0, "46001", 4.5), (-124.0, 41.0, "46002", None)],
+            "lon double, lat double, station string, sst double",
+        )
+        gp = os.path.join(d, "day.gpkg")
+        write_gpkg_points(pts, gp, "stations")
+        verts = spark.createDataFrame(
+            [(1, 0, 0, -125.0, 40.0), (1, 0, 1, -124.0, 40.0),
+             (1, 0, 2, -124.5, 41.0)],
+            "contour_id int, step int, vertex_idx int, x double, y double",
+        )
+        write_gpkg_polygons(verts, gp, "contours")
+
+        got = read_gpkg_vector(spark, d).collect()
+        by_layer: dict = {}
+        for r in got:
+            by_layer.setdefault(r.layer, []).append(r)
+
+        st = sorted(by_layer["stations"], key=lambda r: r.fid)
+        assert [(r.lon, r.lat) for r in st] == [(-125.0, 40.0), (-124.0, 41.0)]
+        assert all(r.geom_type == "point" for r in st)
+        a0 = json.loads(st[0].attrs)
+        assert a0["station"] == "46001" and a0["sst"] == 4.5
+        assert json.loads(st[1].attrs)["sst"] is None
+
+        ct = sorted(by_layer["contours"], key=lambda r: (r.part, r.vertex))
+        # WKB rings close explicitly: 3 distinct vertices + repeat of first
+        assert [(r.lon, r.lat) for r in ct] == [
+            (-125.0, 40.0), (-124.0, 40.0), (-124.5, 41.0), (-125.0, 40.0),
+        ]
+        assert all(r.geom_type == "polygon" for r in ct)
+
+        # layer filter prunes
+        assert {
+            r.layer for r in read_gpkg_vector(spark, d, layer="stations").collect()
+        } == {"stations"}
+    finally:
+        shutil.rmtree(d)
+
+
+def test_gpkg_coverage_spark_scan_roundtrip(spark):
+    """write_gpkg_raster → Spark coverage scan → identical cells through
+    the same long-form schema as the GeoTIFF scan (nodata → NULL, j
+    ascending-lat, lattice lon/lat)."""
+    from pyofs_spark.sources.gpkg import write_gpkg_raster
+    from pyofs_spark.sources.scan import read_gpkg_coverage
+
+    d = tempfile.mkdtemp()
+    try:
+        a = np.array([[1.0, 2.0, 3.0], [4.0, np.nan, 6.0]])  # north-up
+        a_for_write = np.where(np.isfinite(a), a, -9999.0)
+        gp = os.path.join(d, "cov.gpkg")
+        write_gpkg_raster(
+            gp, "sst_cov", a_for_write, west=-126.0, north=41.0,
+            dx=0.5, dy=0.5, tile_size=2,  # forces 2x1 padded tile grid
+        )
+        got = {(r.i, r.j): r for r in read_gpkg_coverage(spark, d).collect()}
+        assert len(got) == 6
+        # north-up row 0 (values 1,2,3) is the TOP → j=1 after unflip
+        assert got[(0, 1)].value == 1.0 and got[(2, 1)].value == 3.0
+        assert got[(0, 0)].value == 4.0 and got[(1, 0)].value is None
+        r = got[(2, 0)]
+        assert r.variable == "sst_cov" and r.value == 6.0
+        assert (r.lon, r.lat) == (-126.0 + 2 * 0.5, 41.0 - 2 * 0.5 + 0 * 0.5)
     finally:
         shutil.rmtree(d)
