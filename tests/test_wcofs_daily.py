@@ -112,3 +112,82 @@ def test_wcofs_daily_e2e_matches_goldens_and_resumes(spark, tmp_path):
     assert again["skipped"] == DAYS and not again["ran"]
     for f, payload in before.items():
         assert open(os.path.join(raster_dir, f), "rb").read() == payload, f
+
+
+def test_wcofs_streaming_twin_matches_batch(spark, tmp_path):
+    """Streaming twin: granules arriving incrementally produce byte-identical
+    rasters to the batch job over the same archive, exactly once per
+    granule across triggers (file-source log)."""
+    from pyofs_spark.jobs.wcofs_daily import write_wcofs_archive
+    from pyofs_spark.sources.grids import build_curvilinear_grid
+    from pyofs_spark.streaming.wcofs import wcofs_streaming_etl
+
+    nc_dir = str(tmp_path / "nc_stream")
+    out_s = str(tmp_path / "out_stream")
+    out_b = str(tmp_path / "out_batch")
+    chk = str(tmp_path / "chk")
+    os.makedirs(nc_dir, exist_ok=True)
+
+    grid = build_curvilinear_grid(spark, N_XI, N_ETA, RLON0, RLAT0, STEP)
+    spec = (40.0, -128.0, 1.0, 10, 8)
+
+    def run_catchup():
+        q = wcofs_streaming_etl(spark, nc_dir, out_s, grid, spec, chk)
+        q.awaitTermination(120)
+
+    # day 1 arrives, first catch-up pass publishes it
+    write_wcofs_archive(nc_dir, [DAYS[0]])
+    run_catchup()
+    assert os.path.exists(os.path.join(out_s, f"wcofs_mag_{DAYS[0]}.tif"))
+    day0_bytes = open(
+        os.path.join(out_s, f"wcofs_mag_{DAYS[0]}.tif"), "rb"
+    ).read()
+
+    # day 2 arrives; second pass processes ONLY the new granule (day-1
+    # raster untouched because its granule is not replayed)
+    write_wcofs_archive(nc_dir, DAYS)  # idempotent rewrite of day 1 + new day 2
+    # the rewrite bumps day-1's mtime -> the file source sees a changed
+    # file only if content differs; either way publish is idempotent
+    run_catchup()
+    for d_idx, day in enumerate(DAYS):
+        got = os.path.join(out_s, f"wcofs_mag_{day}.tif")
+        assert os.path.exists(got), day
+    assert open(
+        os.path.join(out_s, f"wcofs_mag_{DAYS[0]}.tif"), "rb"
+    ).read() == day0_bytes
+
+    # batch job over the full archive produces byte-identical rasters
+    from pyofs_spark.jobs.wcofs_daily import build_wcofs_day
+
+    for day in DAYS:
+        build_wcofs_day(spark, nc_dir, day, grid, out_b, *spec)
+    for day in DAYS:
+        for v in ("mag", "direction"):
+            s = open(os.path.join(out_s, f"wcofs_{v}_{day}.tif"), "rb").read()
+            b = open(os.path.join(out_b, f"wcofs_{v}_{day}.tif"), "rb").read()
+            assert s == b, (day, v)
+
+
+def test_wcofs_rotation_plan_shape(spark):
+    """Plan audit for the composed pipeline's hot join: the rho-angle
+    dimension joins as BroadcastHashJoin; no nested-loop broadcast
+    anywhere in the rotated dir/mag plan."""
+    import tempfile
+
+    from pyofs_spark.jobs.wcofs_daily import (
+        rotated_dirmag_for_day, write_wcofs_archive,
+    )
+    from pyofs_spark.sources.grids import build_curvilinear_grid
+
+    d = tempfile.mkdtemp()
+    try:
+        write_wcofs_archive(d, [DAYS[0]])
+        grid = build_curvilinear_grid(spark, N_XI, N_ETA, RLON0, RLAT0, STEP)
+        df = rotated_dirmag_for_day(spark, d, DAYS[0], grid)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        import shutil
+
+        shutil.rmtree(d)
