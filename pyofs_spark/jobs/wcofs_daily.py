@@ -187,14 +187,22 @@ def build_wcofs_day(
     nn = regrid_nearest_join(
         pts, tgt, value_col="mag", res=6, max_ring=8
     )
-    # the 1-NN assignment is shared: direction rides the same neighbor
+    # the 1-NN assignment is shared: direction rides the same neighbor.
+    # persist: the day's lattice feeds FOUR actions (mag tif, dir tif,
+    # GPKG coverage array, lineage parquet write) — uncached, each would
+    # recompute the whole scan->rotate->regrid lineage. The cache is
+    # dimension-sized (one day's viewer raster); run_wcofs_daily releases
+    # it when the next day's partition starts.
     out = (
         nn.join(pts.select("point_id", "direction"), "point_id", "left")
         .join(tgt.select("query_id", "gi", "gj", "lon", "lat"), "query_id")
+        .select("query_id", "gi", "gj", "lon", "lat", "mag", "direction")
+        .persist()
     )
     os.makedirs(out_dir, exist_ok=True)
+    arrays = {}
     for vname in ("mag", "direction"):
-        export_raster_geotiff(
+        arrays[vname] = export_raster_geotiff(
             out.select(
                 F.col("gi").alias("i"), F.col("gj").alias("j"),
                 F.col(vname).alias("mean_val"),
@@ -205,22 +213,15 @@ def build_wcofs_day(
         )
     from ..sources.gpkg import write_gpkg_raster
 
-    grid_arr = export_raster_geotiff(
-        out.select(
-            F.col("gi").alias("i"), F.col("gj").alias("j"),
-            F.col("mag").alias("mean_val"),
-        ),
-        os.path.join(out_dir, f"wcofs_mag_{day}_cov.tif"),
-        west=lon0, south=lat0, dx=lstep, dy=lstep, n_i=n_lon, n_j=n_lat,
-    )
+    # the GPKG coverage reuses the mag export's north-up array — same
+    # grid, no second materialization
     write_gpkg_raster(
-        os.path.join(out_dir, f"wcofs_{day}.gpkg"), "mag_cov", grid_arr,
+        os.path.join(out_dir, f"wcofs_{day}.gpkg"), "mag_cov",
+        arrays["mag"],
         west=lon0, north=lat0 + n_lat * lstep, dx=lstep, dy=lstep,
         field_name="mag",
     )
-    return out.select(
-        "query_id", "gi", "gj", "lon", "lat", "mag", "direction"
-    )
+    return out
 
 
 def run_wcofs_daily(
@@ -258,13 +259,23 @@ def run_wcofs_daily(
     else:
         lat0, lon0, lstep, n_lon, n_lat = lattice_spec
 
+    prev: list[DataFrame] = []
+
     def build(s: SparkSession, day: str) -> DataFrame:
-        return build_wcofs_day(
+        # release the previous day's persisted lattice (its lineage
+        # parquet is already written once run_partitioned calls us again)
+        while prev:
+            prev.pop().unpersist()
+        df = build_wcofs_day(
             s, nc_dir, day, grid, os.path.join(out_root, "rasters"),
             lat0, lon0, lstep, n_lon, n_lat,
         )
+        prev.append(df)
+        return df
 
     summary = run_partitioned(spark, out_root, days, build)
+    while prev:
+        prev.pop().unpersist()
     summary["lattice"] = {
         "lat0": float(lat0), "lon0": float(lon0), "step": float(lstep),
         "n_lon": int(n_lon), "n_lat": int(n_lat),
