@@ -554,3 +554,96 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_embedding_cosine", _cos_pairs_sql("duck"))(_dedup_embedding_cosine)
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality scoring (round 5): the duplicate-n-gram signals
+# web-text pipelines filter on (Gopher-style "repetition removal" — top
+# n-gram share + duplicate-n-gram fraction, per document). Pure counting
+# over a per-doc tokenize → exact cross-engine parity; ratios floor-round-6.
+#
+# Registered ROWS-ONLY: the driver's 50-slot hash window is fully occupied
+# by the SURVEY §2 operator oracles (and tests/test_registry.py enforces
+# oracled ⊆ window), so this query's DuckDB parity is CI-guarded instead:
+# tests/test_txt_repetition.py runs the Spark body and _TXT_REPETITION_DUCK
+# side-by-side and compares values exactly — the same check the driver
+# would record, enforced every pytest run.
+#
+# Scale shape: one posexplode (map-side), ONE shuffle on doc_id for the
+# lead() window, then partial-aggregated groupBys on (doc_id, gram) —
+# no cross-document joins, so the plan is embarrassingly parallel over
+# documents and survives any corpus size that fits its doc_id hash space.
+# ---------------------------------------------------------------------------
+
+
+def _repetition_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT doc_id, pos, word FROM documents "
+            "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word"
+        )
+    else:  # duckdb: unnest + generate_subscripts zip in the SELECT clause
+        words = (
+            "SELECT doc_id, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos, "
+            "unnest(string_split(text, ' ')) AS word FROM documents"
+        )
+    # Single-shuffle shape: every stat derives from ONE grouped subtree
+    # `gcounts` = count per (doc_id, word, next_word). Word counts are the
+    # sum over next_word (each word occurrence has exactly one successor,
+    # NULL for the doc's last word), so the word branch can't prune the
+    # lead() window out of its subplan — if it read `pairs` directly,
+    # Catalyst would drop the unused Window and re-shuffle the exploded
+    # words a second time on (doc_id, word). With the shared subtree the
+    # window's hash(doc_id) Exchange is emitted once + ReusedExchange, and
+    # every downstream groupBy/join keys on a superset of doc_id — the
+    # whole query moves the exploded words over the wire exactly once
+    # (plan-asserted in tests/test_txt_repetition.py).
+    return f"""
+    WITH words AS ({words}),
+    pairs AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next_word
+      FROM words
+    ),
+    gcounts AS (
+      SELECT doc_id, word, next_word, count(*) AS c
+      FROM pairs GROUP BY doc_id, word, next_word
+    ),
+    wcounts AS (
+      SELECT doc_id, word, cast(sum(c) AS bigint) AS c
+      FROM gcounts GROUP BY doc_id, word
+    ),
+    wstats AS (
+      SELECT doc_id, cast(sum(c) AS bigint) AS n_words,
+             count(*) AS n_distinct_words,
+             max(c) AS top_word_count
+      FROM wcounts GROUP BY doc_id
+    ),
+    bstats AS (
+      SELECT doc_id, cast(sum(c) AS bigint) AS n_bigrams,
+             count(*) AS n_distinct_bigrams,
+             max(c) AS top_bigram_count
+      FROM gcounts WHERE next_word IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id AS doc_id, n_words, n_distinct_words,
+           {round6('top_word_count * 1.0e0 / n_words')} AS top_word_frac,
+           {round6('1.0e0 - n_distinct_words * 1.0e0 / n_words')} AS dup_word_frac,
+           n_bigrams, n_distinct_bigrams,
+           {round6('top_bigram_count * 1.0e0 / n_bigrams')} AS top_bigram_frac,
+           {round6('1.0e0 - n_distinct_bigrams * 1.0e0 / n_bigrams')} AS dup_bigram_frac
+    FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+    """
+
+
+_TXT_REPETITION_DUCK = _repetition_sql("duck")
+
+
+def _txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_repetition_sql("spark"))
+
+
+_txt_repetition.__name__ = "txt_repetition"
+register("txt_repetition")(_txt_repetition)

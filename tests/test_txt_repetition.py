@@ -1,0 +1,113 @@
+"""txt_repetition (round 5): DuckDB value parity for the rows-only
+repetition-quality query — the same rows+schema+hash check the driver's
+50-slot window would record, enforced here instead (the window is full
+of SURVEY §2 operator oracles; see queries_text.py).
+
+Also a semantics fixture: a maximally repetitive doc and an all-distinct
+doc must land at the exact analytic fractions (Gopher repetition-removal
+thresholds act on these numbers, so off-by-one n-gram counting would
+silently misfilter).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from conftest import SF_DIR
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(r[i] for i in order) for r in rows
+    )
+    return [cols[i] for i in order], out
+
+
+def test_txt_repetition_duckdb_parity(spark):
+    from pyofs_spark.plans.queries_text import (
+        _TXT_REPETITION_DUCK,
+        _txt_repetition,
+    )
+
+    sdf = _txt_repetition(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    res = con.execute(_TXT_REPETITION_DUCK)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sv = _norm(s_cols, s_rows)
+    dc, dv = _norm(d_cols, d_rows)
+    assert sc == dc
+    assert len(sv) == len(dv) and len(sv) > 0
+    for a, b in zip(sv, dv):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert math.isclose(x, y, rel_tol=0, abs_tol=0), (a, b)
+            else:
+                assert x == y, (a, b)
+
+
+def test_txt_repetition_single_shuffle_plan(spark):
+    """The exploded words must cross the wire exactly once: both stat
+    branches share the gcounts subtree, so AQE reuses the window's
+    hash(doc_id) exchange, and no exchange keys on (doc_id, word) —
+    a second shuffle of the exploded corpus would dominate at 100 TB."""
+    import re
+
+    from pyofs_spark.plans.queries_text import _txt_repetition
+
+    df = _txt_repetition(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for k in keys:
+        # every data shuffle partitions on doc_id only (expr-id suffixed)
+        assert re.fullmatch(r"doc_id#\d+L, \d+", k), plan
+    assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_txt_repetition_analytic_fixture(spark):
+    from pyofs_spark.plans.queries_text import _repetition_sql
+
+    docs = [
+        (1, "a a a a"),          # 4 words, 1 distinct; 3 bigrams all "a a"
+        (2, "w x y z"),          # all distinct words AND bigrams
+        (3, "a b a b a"),        # bigrams: "a b" x2, "b a" x2 -> top 2/4
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql(_repetition_sql("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    assert got[1]["n_words"] == 4 and got[1]["n_distinct_words"] == 1
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["n_bigrams"] == 3 and got[1]["n_distinct_bigrams"] == 1
+    assert got[1]["top_bigram_frac"] == 1.0
+
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == round(1 / 3 + 1e-7, 6) or math.isclose(
+        got[2]["top_bigram_frac"], 0.333333, abs_tol=1e-9
+    )
+
+    assert got[3]["n_bigrams"] == 4
+    assert got[3]["top_bigram_frac"] == 0.5
+    assert got[3]["top_word_frac"] == 0.6
