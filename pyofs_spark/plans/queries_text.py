@@ -647,3 +647,84 @@ def _txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _txt_repetition.__name__ = "txt_repetition"
 register("txt_repetition")(_txt_repetition)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection (round 5): the C4-style filter
+# ("any span occurring verbatim elsewhere in the corpus is boilerplate").
+# Per document: total 5-word-shingle instances, how many of those
+# instances belong to a shingle seen in >= 2 distinct documents, and the
+# duplicated-span fraction web pipelines threshold on.
+#
+# Rows-only + CI-guarded DuckDB parity (tests/test_txt_repetition.py),
+# same rationale as txt_repetition above: the driver's 50-slot hash
+# window is fully occupied by SURVEY §2 operator oracles.
+#
+# Scale shape (the canonical inverted index, all stages partial-agg'd):
+#   explode words -> hash(doc_id) shuffle for the lead() shingle window
+#   -> groupBy (doc_id, shingle) [no shuffle: subset of doc_id clustering]
+#   -> corpus doc-frequency via groupBy(shingle) (map-side combined, so a
+#      boilerplate shingle in 10^8 docs arrives as one row per map task —
+#      never a hot partition) -> equi-join back on shingle (SMJ, AQE
+#      skew-split eligible; the chosen shape because a COUNT OVER
+#      (PARTITION BY shingle) window would pin every holder of a hot
+#      shingle onto one task with no AQE remedy)
+#   -> final groupBy doc_id.
+# Shuffled bytes ~ one pass of the distinct (doc, shingle) pairs twice
+# plus the aggregated DF table once; no all-pairs joins anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _crossdoc_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT doc_id, pos, word FROM documents "
+            "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word"
+        )
+    else:
+        words = (
+            "SELECT doc_id, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos, "
+            "unnest(string_split(text, ' ')) AS word FROM documents"
+        )
+    leads = ", ".join(
+        f"lead(word, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS w{k}"
+        for k in range(1, 5)
+    )
+    return f"""
+    WITH words AS ({words}),
+    sh AS (
+      SELECT doc_id, concat_ws(' ', word, w1, w2, w3, w4) AS shingle
+      FROM (SELECT doc_id, word, {leads} FROM words)
+      WHERE w4 IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, shingle, count(*) AS c
+      FROM sh GROUP BY doc_id, shingle
+    ),
+    df AS (
+      SELECT shingle, count(*) AS doc_freq FROM per_doc GROUP BY shingle
+    )
+    SELECT p.doc_id AS doc_id,
+           cast(sum(p.c) AS bigint) AS n_shingles,
+           count(*) AS n_distinct_shingles,
+           cast(sum(CASE WHEN d.doc_freq >= 2 THEN p.c ELSE 0 END)
+                AS bigint) AS n_dup_shingles,
+           {round6('sum(CASE WHEN d.doc_freq >= 2 THEN p.c ELSE 0 END)'
+                   ' * 1.0e0 / sum(p.c)')} AS dup_shingle_frac,
+           max(d.doc_freq) AS max_doc_freq
+    FROM per_doc p JOIN df d ON p.shingle = d.shingle
+    GROUP BY p.doc_id
+    """
+
+
+_TXT_CROSSDOC_DUCK = _crossdoc_sql("duck")
+
+
+def _txt_crossdoc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_crossdoc_sql("spark"))
+
+
+_txt_crossdoc_shingles.__name__ = "txt_crossdoc_shingles"
+register("txt_crossdoc_shingles")(_txt_crossdoc_shingles)

@@ -57,6 +57,72 @@ def test_txt_repetition_duckdb_parity(spark):
                 assert x == y, (a, b)
 
 
+def test_txt_crossdoc_shingles_duckdb_parity(spark):
+    from pyofs_spark.plans.queries_text import (
+        _TXT_CROSSDOC_DUCK,
+        _txt_crossdoc_shingles,
+    )
+
+    sdf = _txt_crossdoc_shingles(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    res = con.execute(_TXT_CROSSDOC_DUCK)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sv = _norm(s_cols, s_rows)
+    dc, dv = _norm(d_cols, d_rows)
+    assert sc == dc
+    assert len(sv) == len(dv) and len(sv) > 0
+    for a, b in zip(sv, dv):
+        assert a == b, (a, b)
+
+    # the DF join must stay an equi-join (broadcast or SMJ) — an
+    # all-pairs fallback here would be quadratic in the corpus
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_txt_crossdoc_shingles_analytic_fixture(spark):
+    """Two docs sharing one exact 5-word span + one unique doc: the shared
+    span's instances (and only those) must count as duplicated in both
+    holders; the unique doc must land at dup fraction 0."""
+    from pyofs_spark.plans.queries_text import _crossdoc_sql
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"{shared} zeta eta"),        # shingles: shared + 2 others
+        (2, f"pre1 pre2 {shared}"),       # shingles: 2 others + shared
+        (3, "q w e r t y u"),             # 3 shingles, all unique
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql(_crossdoc_sql("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    assert got[1]["n_shingles"] == 3 and got[1]["n_dup_shingles"] == 1
+    # round6 = floor(x*1e6 + 0.5)/1e6 -> 1/3 lands exactly at 0.333333
+    assert got[1]["dup_shingle_frac"] == 0.333333
+    assert got[1]["max_doc_freq"] == 2
+    assert got[2]["n_dup_shingles"] == 1
+    assert got[3]["n_shingles"] == 3
+    assert got[3]["n_dup_shingles"] == 0
+    assert got[3]["dup_shingle_frac"] == 0.0
+    assert got[3]["max_doc_freq"] == 1
+
+
 def test_txt_repetition_single_shuffle_plan(spark):
     """The exploded words must cross the wire exactly once: both stat
     branches share the gcounts subtree, so AQE reuses the window's
