@@ -285,6 +285,150 @@ def cosine_threshold_pairs(
     return combos.mapInPandas(_pairs, "id_a long, id_b long, cosine double")
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of an embedding
+    column: (vid, codes binary(dim), scale double, code_norm double).
+
+    codes[i] = clip(round(x[i]/scale), -127, 127) with
+    scale = max|x|/127, so the reconstruction is x̂ = codes·scale and the
+    dequantized dot product is (codes_a·codes_b)·scale_a·scale_b. For
+    COSINE the scales cancel entirely — cos(x̂, ŷ) depends on the codes
+    alone — which is why the search path below never touches `scale`;
+    it is stored for dot-product / L2 consumers.
+
+    Scale rationale (the FAISS/ScaNN SQ8 trade): a 64-d float32 array
+    column is 256 B payload/row; codes are 64 B — 4× less scan I/O and
+    4× more vectors per executor-memory byte, which is the binding
+    constraint for brute-force search over 10^12 embeddings. The map is
+    stateless (no trained codebook), so codes never go stale on append —
+    safe for streaming corpora, unlike IVF centroids.
+
+    Deterministic (pure arithmetic, no RNG); one Arrow batch per task,
+    one vectorized pass. code_norm = ‖codes‖₂ is precomputed here so
+    search tasks do not re-reduce it per probe."""
+
+    @pandas_udf("codes binary, scale double, code_norm double")
+    def _quant(v: pd.Series) -> pd.DataFrame:
+        m = _stack(v, dim)
+        amax = np.abs(m).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        codes = np.clip(
+            np.round(m / scale[:, None]), -127, 127
+        ).astype(np.int8)
+        norm = np.sqrt(
+            np.einsum("ij,ij->i", codes.astype(np.float64), codes)
+        )
+        return pd.DataFrame(
+            {
+                "codes": [c.tobytes() for c in codes],
+                "scale": scale,
+                "code_norm": norm,
+            }
+        )
+
+    q = _quant(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        q["codes"].alias("codes"),
+        q["scale"].alias("scale"),
+        q["code_norm"].alias("code_norm"),
+    )
+
+
+def cosine_topk_int8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized candidates — the
+    memory-bandwidth path for brute-force search at corpus scale.
+
+    Same contract and output schema as cosine_topk_bruteforce
+    ((qid, cid, cosine, sim_rank), floor-round-6 cosine, (cos desc, cid)
+    tie-break, self-pairs excluded), but the candidate side streams as
+    64 B/row codes instead of 256-512 B float arrays: 4-8× less scan
+    I/O for the identical O(|C|·|Q|·d) matmul plan (queries ride in the
+    closure as a float32 matrix; candidates decode via np.frombuffer —
+    zero-copy — and hit BLAS sgemm in float32). Quantization error is
+    bounded per-coordinate by scale/2, giving |cos_q − cos| ≲ √d/127;
+    measured against the exact path in tests/test_regrid_similarity.py
+    (max abs error and recall@k both gated). Ranking is by QUANTIZED
+    cosine — like the LSH/IVF paths this is an approximate operator;
+    chain cosine_topk_bruteforce over the top-k·r survivors when exact
+    boundary order matters.
+
+    At 10^12 scale: quantize once (stateless — append-safe), store codes
+    as their own parquet/Iceberg column, and scan ONLY (vid, codes):
+    column pruning keeps the float embeddings on disk entirely."""
+    q_rows = queries.select(id_col, vec_col).collect()  # dim-sized by contract
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm32 = np.array([list(r[1]) for r in q_rows], dtype=np.float32)
+    qnrm = np.linalg.norm(qm32, axis=1)
+    # same exact (c6 desc, cid asc) composite key as the brute path —
+    # the local-topk boundary must be partitioning-independent even
+    # though the cosine itself is quantized (repo determinism rule)
+    _SHIFT = float(1 << 32)
+    if int(qids.max(initial=0)) >= (1 << 32) or int(qids.min(initial=0)) < 0:
+        raise ValueError("float64 composite tie-break key needs 0 <= id < 2^32")
+
+    codes_df = quantize_embeddings(vectors, dim, id_col, vec_col)
+
+    def _local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["vid"].to_numpy(dtype=np.int64)
+            if len(cids) and (
+                int(cids.max()) >= (1 << 32) or int(cids.min()) < 0
+            ):
+                raise ValueError(
+                    "float64 composite tie-break key needs 0 <= id < 2^32"
+                )
+            m = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.int8
+            ).reshape(len(cids), dim).astype(np.float32)
+            cnrm = pdf["code_norm"].to_numpy(dtype=np.float32)
+            c = m @ qm32.T  # (b, |Q|) sgemm — the whole hot loop
+            with np.errstate(invalid="ignore", divide="ignore"):
+                c /= cnrm[:, None] * qnrm[None, :]
+            comp = np.floor(c.astype(np.float64) * 1e6 + 0.5)  # c6
+            np.multiply(comp, _SHIFT, out=comp)
+            np.subtract(comp, cids[:, None], out=comp)
+            self_mask = cids[:, None] == qids[None, :]
+            comp[self_mask] = -2.0 * 1e6 * _SHIFT
+            kk = min(k, len(cids))
+            sel = np.argpartition(comp, len(cids) - kk, axis=0)[-kk:]
+            keep = ~np.take_along_axis(self_mask, sel, axis=0).ravel()
+            comp_sel = np.take_along_axis(comp, sel, axis=0).ravel()
+            cid_sel = cids[sel].ravel()
+            cos_sel = (comp_sel + cid_sel) / _SHIFT / 1e6  # exact c6 recovery
+            yield pd.DataFrame(
+                {
+                    "qid": np.broadcast_to(qids, sel.shape).ravel()[keep],
+                    "cid": cid_sel[keep],
+                    "cosine": cos_sel[keep],
+                }
+            )
+
+    local = codes_df.select("vid", "codes", "code_norm").mapInPandas(
+        _local_topk, "qid long, cid long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return (
+        local.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("qid", "cid", "cosine", "sim_rank")
+    )
+
+
 def _plane_matrix(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: hash-seeded, frozen."""
     rng = np.random.default_rng(0xC0FFEE)

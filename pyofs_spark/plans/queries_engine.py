@@ -55,6 +55,24 @@ def eng_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(vecs, queries, k=5, dim=64)
 
 
+@register("eng_cosine_int8")
+def eng_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8 scalar-quantized candidates
+    (round 5) — the memory-bandwidth scale path: candidates stream as
+    64 B/row codes (4-8× less scan I/O than the float arrays) through
+    the same one-sgemm-per-batch local-topk plan as sim_cosine_topk.
+    Quantized ranking is approximate by construction (rows-only, like
+    LSH/IVF); pytest gates recall@5 >= 0.95 vs the exact path AND the
+    |cos_q − cos| error bound (tests/test_regrid_similarity.py).
+    Stateless quantization (no codebook) — append-safe for streaming
+    corpora, unlike IVF."""
+    from ..operators.similarity import cosine_topk_int8
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_int8(vecs, queries, k=5, dim=64)
+
+
 # --- T5 advection, ORACLE-GATED (round 3) ------------------------------------
 # Inside the Rankine core the flow is exact solid-body rotation, so the
 # analytic trajectory is the seed polygon rigidly rotated by ω·dt·s. RK4

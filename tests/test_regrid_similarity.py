@@ -16,7 +16,9 @@ from pyofs_spark.operators.regrid import (
 )
 from pyofs_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_int8,
     cosine_topk_lsh,
+    quantize_embeddings,
 )
 
 
@@ -159,6 +161,55 @@ def test_ivf_recall_vs_brute(spark):
         vecs, queries, k=5, dim=64
     ).collect()}
     assert a == again
+
+
+def test_int8_quantization_codes_and_error_bound(spark):
+    """quantize_embeddings: codes are dim bytes/row (the 4x-vs-float32
+    compression claim), the reconstruction error respects the symmetric
+    scalar-quantization bound, and quantized cosine sits within
+    ~sqrt(d)/127 of the exact cosine for every candidate pair."""
+    vecs = _pdvecs(spark).limit(200)
+    dim = 64
+    rows = {r["vid"]: r for r in quantize_embeddings(vecs, dim).collect()}
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vecs.collect()}
+    assert rows.keys() == orig.keys()
+    worst = 0.0
+    for vid, r in rows.items():
+        assert len(r["codes"]) == dim  # 64 B vs 256 B float32 payload
+        codes = np.frombuffer(r["codes"], dtype=np.int8).astype(np.float64)
+        x = orig[vid]
+        # per-coordinate reconstruction error <= scale/2 (+ ulp slack)
+        assert np.all(np.abs(codes * r["scale"] - x) <= r["scale"] / 2 + 1e-12)
+        assert abs(r["code_norm"] - np.linalg.norm(codes)) < 1e-9
+        nx = np.linalg.norm(x)
+        if nx > 0 and r["code_norm"] > 0:
+            worst = max(worst, abs(
+                float(codes @ x) / (r["code_norm"] * nx) - 1.0
+            ))
+    # cos(x̂, x) within the sqrt(d)/127 ≈ 0.063 analytic envelope — in
+    # practice far inside it on real-valued embeddings
+    assert worst < 0.02, worst
+
+
+def test_int8_topk_recall_and_value_error(spark):
+    """cosine_topk_int8 vs exact: recall@5 >= 0.95 on the fixture and
+    every returned quantized cosine within 0.02 of the exact cosine for
+    the same (qid, cid) pair; deterministic across runs."""
+    vecs = _pdvecs(spark)
+    queries = vecs.filter(F.col("vec_id") % 20 == 0)
+    brute = cosine_topk_bruteforce(vecs, queries, k=5)
+    q8 = cosine_topk_int8(vecs, queries, k=5, dim=64)
+    exact = {(r.qid, r.cid): r.cosine for r in brute.collect()}
+    got = {(r.qid, r.cid): r.cosine for r in q8.collect()}
+    recall = len(got.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.95, recall
+    for pair in got.keys() & exact.keys():
+        assert abs(got[pair] - exact[pair]) < 0.02, (pair, got[pair], exact[pair])
+    again = {(r.qid, r.cid): r.cosine for r in cosine_topk_int8(
+        vecs, queries, k=5, dim=64
+    ).collect()}
+    assert got == again
 
 
 def test_cosine_threshold_pairs_exact_and_plan(spark):
