@@ -728,3 +728,85 @@ def _txt_crossdoc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _txt_crossdoc_shingles.__name__ = "txt_crossdoc_shingles"
 register("txt_crossdoc_shingles")(_txt_crossdoc_shingles)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 5): the eval-set n-gram overlap check
+# every LLM training pipeline runs before a corpus ships (GPT-3 appendix C
+# / The Pile / Llama all filter training docs whose n-grams collide with
+# benchmark text). Here the "benchmark" is a deterministic stand-in —
+# the 5-word shingles of docs with doc_id % 97 == 0 — so the query is
+# self-contained on the synthetic corpus; swapping in a real eval-set
+# shingle table changes only the `bench` CTE.
+#
+# Per scored doc (doc_id % 97 != 0): total shingle instances, instances
+# whose shingle appears in the benchmark set, the contamination fraction,
+# and the ship/quarantine flag at the 5% threshold.
+#
+# Rows-only + CI-guarded DuckDB parity (tests/test_txt_repetition.py),
+# same rationale as txt_repetition above: the driver's 50-slot hash
+# window is fully occupied by SURVEY §2 operator oracles.
+#
+# Scale shape: the benchmark side is SMALL BY CONSTRUCTION (eval suites
+# are ~10^6 shingles even when the corpus is 10^12 rows), so the overlap
+# join is a broadcast hash join — zero shuffle of the corpus-side
+# shingles beyond the one hash(doc_id) exchange the lead() window needs,
+# and the final groupBy(doc_id) rides that same clustering. Exactly one
+# corpus-wide shuffle end-to-end (plan-asserted: BroadcastHashJoin
+# present, single corpus-side Exchange). A real 10^12-doc run keeps the
+# same plan: broadcast dims don't grow with corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _decontam_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT doc_id, pos, word FROM documents "
+            "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word"
+        )
+    else:
+        words = (
+            "SELECT doc_id, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos, "
+            "unnest(string_split(text, ' ')) AS word FROM documents"
+        )
+    leads = ", ".join(
+        f"lead(word, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS w{k}"
+        for k in range(1, 5)
+    )
+    # /*+ BROADCAST */ is a Spark hint; DuckDB parses it as a comment.
+    return f"""
+    WITH words AS ({words}),
+    sh AS (
+      SELECT doc_id, concat_ws(' ', word, w1, w2, w3, w4) AS shingle
+      FROM (SELECT doc_id, word, {leads} FROM words)
+      WHERE w4 IS NOT NULL
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT /*+ BROADCAST(b) */
+           s.doc_id AS doc_id,
+           count(*) AS n_shingles,
+           cast(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_contaminated,
+           {round6('sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)'
+                   ' * 1.0e0 / count(*)')} AS contam_frac,
+           (sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            * 1.0e0 / count(*)) > 0.05 AS quarantined
+    FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """
+
+
+_TXT_DECONTAM_DUCK = _decontam_sql("duck")
+
+
+def _txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_decontam_sql("spark"))
+
+
+_txt_decontaminate.__name__ = "txt_decontaminate"
+register("txt_decontaminate")(_txt_decontaminate)

@@ -177,3 +177,90 @@ def test_txt_repetition_analytic_fixture(spark):
     assert got[3]["n_bigrams"] == 4
     assert got[3]["top_bigram_frac"] == 0.5
     assert got[3]["top_word_frac"] == 0.6
+
+
+def test_txt_decontaminate_duckdb_parity(spark):
+    from pyofs_spark.plans.queries_text import (
+        _TXT_DECONTAM_DUCK,
+        _txt_decontaminate,
+    )
+
+    sdf = _txt_decontaminate(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    res = con.execute(_TXT_DECONTAM_DUCK)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sv = _norm(s_cols, s_rows)
+    dc, dv = _norm(d_cols, d_rows)
+    assert sc == dc
+    assert len(sv) == len(dv) and len(sv) > 0
+    for a, b in zip(sv, dv):
+        assert a == b, (a, b)
+
+
+def test_txt_decontaminate_broadcast_plan(spark):
+    """The eval-set overlap join must broadcast the benchmark side and
+    never reshuffle the corpus-side shingles: every hash exchange keys on
+    doc_id only (window + final rollup ride the same clustering) or on
+    the benchmark branch's tiny distinct-shingle aggregation — at 10^12
+    docs a shingle-keyed corpus shuffle here would dwarf the whole scan."""
+    import re
+
+    from pyofs_spark.plans.queries_text import _txt_decontaminate
+
+    df = _txt_decontaminate(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # AQE's toString appends an "== Initial Plan ==" copy; analyze only
+    # the final (executed) section or every exchange is counted twice.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # corpus-side exchanges: doc_id only. The one shingle-keyed exchange
+    # allowed is the bench branch's distinct over the 1/97 subset.
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    shingle_keyed = [k for k in keys if "shingle" in k]
+    assert len(shingle_keyed) <= 1, plan
+    for k in keys:
+        assert re.fullmatch(r"(doc_id#\d+L|shingle#\d+), \d+", k), plan
+
+
+def test_txt_decontaminate_analytic_fixture(spark):
+    """doc 0 (id % 97 == 0) donates the benchmark shingles; a scored doc
+    repeating one of those spans must count exactly its colliding shingle
+    instances; a disjoint doc must score 0 and ship."""
+    from pyofs_spark.plans.queries_text import _decontam_sql
+
+    bench_span = "alpha beta gamma delta epsilon"
+    docs = [
+        (0, f"{bench_span} zeta"),          # benchmark doc: 2 shingles
+        (1, f"x1 {bench_span} x2"),         # 3 shingles, 1 collides
+        (2, "p q r s t u"),                 # 2 shingles, none collide
+        (97, "only one shingle here now"),  # 97 % 97 == 0 -> benchmark, excluded
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql(_decontam_sql("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    assert set(got) == {1, 2}
+    assert got[1]["n_shingles"] == 3 and got[1]["n_contaminated"] == 1
+    assert got[1]["contam_frac"] == 0.333333
+    assert got[1]["quarantined"] is True
+    assert got[2]["n_shingles"] == 2 and got[2]["n_contaminated"] == 0
+    assert got[2]["contam_frac"] == 0.0 and got[2]["quarantined"] is False
