@@ -1,0 +1,100 @@
+"""Distributed connected components over a near-duplicate pair graph.
+
+The dedup suite's missing last step: MinHash/LSH (plans/queries_text.py)
+emits candidate *pairs*, but shipping a dedup keep-list needs the
+transitive closure of those pairs — one canonical document per connected
+component of the similarity graph (the shape used by every production
+web-corpus dedup: C4, RefinedWeb, Dolma all cluster LSH pairs before
+dropping non-canonical members).
+
+Algorithm: min-label propagation with pointer jumping (path halving) —
+the alternating-star family of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14), expressed in pure DataFrame ops:
+
+  round:  comp'(u)  = min(comp(u), min_{v adjacent u} comp(v))   [1 shuffle]
+          comp''(u) = comp'(comp'(u))                            [1 shuffle]
+
+Labels are vertex ids, start at comp(u)=u, and are monotone non-increasing
+and always ids *within u's component*, so the fixpoint labels every vertex
+with its component's minimum id — deterministic, no RNG. Plain propagation
+needs diameter(G) rounds; the pointer jump halves label-chain lengths each
+round, so convergence is O(log d) — near-dup clusters have tiny diameters,
+but the bound is what makes the operator safe on adversarial graphs at
+10^12 vertices. Each round is two hash-partitioned shuffles on vertex id
+(AQE coalesced); lineage is cut per round via session.materialize (same
+policy as the RK4 advection and adaptive-regrid loops — localCheckpoint on
+the bench, durable checkpoint under PYOFS_DURABLE_MATERIALIZE=1).
+
+The reference has no graph operator; this extends SURVEY's LLM-pipeline
+section (dedup family) beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import materialize
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Return (id, comp) for every vertex incident to an edge, where comp
+    is the minimum vertex id in the vertex's connected component.
+
+    `edges` is undirected input (each pair listed once suffices); vertices
+    with no edges are absent — callers left-join and default comp = id.
+    Raises RuntimeError if the fixpoint isn't reached in max_rounds
+    (log2-bounded: 30 rounds covers any graph this engine can hold).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    sym = materialize(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comp = materialize(
+        sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "comp", F.col("id")
+        )
+    )
+    for _ in range(max_rounds):
+        # min label over the closed neighborhood
+        nbr = (
+            sym.join(comp.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = comp.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jump: comp(u) <- comp(comp(u)); labels are always vertex
+        # ids so the lookup hits (left join is belt-and-braces)
+        s, p = stepped.alias("s"), stepped.alias("p")
+        jumped = materialize(
+            s.join(p, F.col("s.comp") == F.col("p.id"), "left").select(
+                F.col("s.id").alias("id"),
+                F.coalesce(F.col("p.comp"), F.col("s.comp")).alias("comp"),
+            )
+        )
+        changed = (
+            jumped.alias("n")
+            .join(comp.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+        )
+        comp = jumped
+        if changed.isEmpty():
+            return comp
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_rounds} rounds"
+    )

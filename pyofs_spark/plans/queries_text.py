@@ -810,3 +810,73 @@ def _txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _txt_decontaminate.__name__ = "txt_decontaminate"
 register("txt_decontaminate")(_txt_decontaminate)
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster assignment (round 5): the transitive-closure step that turns
+# MinHash-LSH candidate PAIRS into a shippable keep-list — one canonical
+# document (minimum doc_id) per connected component of the similarity
+# graph, the shape every production web-corpus dedup ends with (C4 /
+# RefinedWeb / Dolma cluster LSH pairs before dropping members).
+#
+# Spark side: operators/components.py — min-label propagation + pointer
+# jumping (Kiveris et al. SoCC'14 family), O(log d) rounds, two id-keyed
+# shuffles per round, lineage cut per round. Edges = the engine's own
+# dedup_minhash_lsh pairs at est_sim >= 0.5; singleton docs keep
+# themselves (component_id = doc_id).
+#
+# Rows-only + CI-guarded DuckDB parity (tests/test_components.py): the
+# oracle is an independent WITH RECURSIVE reachability closure — a
+# formulation that cannot scale (it enumerates every (vertex, reachable
+# vertex) pair) but is exact at test scale, which is the point of an
+# oracle. The driver's 50 hash slots stay on the SURVEY §2 operators.
+# ---------------------------------------------------------------------------
+
+_EDGE_T = "0.5e0"  # LSH est_sim threshold for a near-dup edge
+
+_COMPONENTS_DUCK = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b
+  FROM ({_MINHASH_BODY.replace('{POSWORDS}', _POS_WORDS_DUCK) + _LSH_TAIL}) q
+  WHERE est_sim >= {_EDGE_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lab
+)
+SELECT id AS doc_id,
+       min(lab) AS component_id,
+       (min(lab) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from .queries import REGISTRY
+
+    register_views(spark, sf_dir)
+    pairs = REGISTRY["dedup_minhash_lsh"](spark, sf_dir).where(
+        F.col("est_sim") >= 0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    docs = spark.sql("SELECT doc_id FROM documents")
+    return docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("component_id"),
+        (F.coalesce("comp", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+_dedup_components.__name__ = "dedup_components"
+register("dedup_components")(_dedup_components)
