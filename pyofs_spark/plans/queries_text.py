@@ -880,3 +880,56 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _dedup_components.__name__ = "dedup_components"
 register("dedup_components")(_dedup_components)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (round 5): training-mix construction —
+# downsample each language to a target fraction with a seedable integer
+# hash, emitting the inverse-probability weight downstream loss weighting
+# needs. The decision is a pure function of (doc_id, lang): re-running on
+# a grown corpus keeps every previously-kept doc (append-stable, the
+# property that makes incremental corpus builds reproducible), and the
+# same SQL text runs on Spark and DuckDB, so parity is by construction.
+#
+# Hash: Knuth multiplicative step on doc_id, TOP 12 bits of the 32-bit
+# product (high bits avalanche; low bits of an affine map are periodic),
+# giving a uniform bucket in [0, 4096). Keep iff bucket < per-lang
+# threshold. Scale shape: map-only — a scan-local filter + CASE against a
+# 5-row inline dim; zero shuffles at any corpus size (plan-asserted).
+#
+# Rows-only + CI-guarded DuckDB parity (tests/test_components.py),
+# driver's 50 hash slots stay on the SURVEY §2 operators.
+# ---------------------------------------------------------------------------
+
+# per-lang keep thresholds out of 4096 (en full, de half, fr/es quarter,
+# zh eighth) — powers of two so weight = 4096/keep is FP-exact
+_MIX_KEEP = {"en": 4096, "de": 2048, "fr": 1024, "es": 1024, "zh": 512}
+
+_MIX_CTE = "\n      UNION ALL\n".join(
+    f"      SELECT '{lang}' AS lang, {k} AS keep_n" for lang, k in _MIX_KEEP.items()
+)
+
+_TXT_SAMPLE_MIX_SQL = f"""
+    WITH mix AS (
+{_MIX_CTE}
+    ),
+    u AS (
+      SELECT doc_id, lang,
+             cast(floor(((doc_id * 2654435761) % 4294967296) / 1048576.0e0)
+                  as bigint) AS bucket
+      FROM documents
+    )
+    SELECT u.doc_id AS doc_id, u.lang AS lang, u.bucket AS bucket,
+           4096.0e0 / mix.keep_n AS weight
+    FROM u JOIN mix ON u.lang = mix.lang
+    WHERE u.bucket < mix.keep_n
+"""
+
+
+def _txt_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_TXT_SAMPLE_MIX_SQL)
+
+
+_txt_sample_mix.__name__ = "txt_sample_mix"
+register("txt_sample_mix")(_txt_sample_mix)
