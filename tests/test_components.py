@@ -96,3 +96,47 @@ def test_keep_list_invariants(spark):
         assert c <= d
         assert c in canon
         assert comp[c] == c
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_edges)
+def test_components_match_union_find(spark, edges):
+    """Random multigraphs (dups, self-loops, both orientations) against a
+    sequential union-find reference — an independent algorithm, not just
+    an independent engine."""
+    got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+    assert got == _union_find(edges)

@@ -110,3 +110,20 @@ def test_degenerate_docs_parity(spark):
     _assert_parity(
         spark, _crossdoc_sql("spark"), _crossdoc_sql("duck"), docs
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_decontam_parity_random_corpora(spark, docs):
+    """Decontamination must stay in lockstep too: with doc_ids < 97 only
+    doc 0 donates benchmark shingles, and sub-5-word docs vanish from the
+    scored set in both engines (the w4 IS NOT NULL shingle guard)."""
+    from pyofs_spark.plans.queries_text import _decontam_sql
+
+    _assert_parity(
+        spark, _decontam_sql("spark"), _decontam_sql("duck"), docs
+    )
