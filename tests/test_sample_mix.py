@@ -90,3 +90,50 @@ def test_sample_mix_append_stable(spark):
     finally:
         spark.catalog.dropTempView("documents")
     assert prefix_kept == {d for d in all_kept if d < cut}
+
+
+def test_streaming_sample_equals_batch(spark):
+    """The sampler runs unchanged under Structured Streaming (stateless
+    append) and per-row results are identical to the batch query —
+    including over a live tail of newly arrived files."""
+    import shutil
+    import tempfile
+
+    from pyofs_spark.plans.queries_text import _txt_sample_mix
+    from pyofs_spark.streaming.sample import sample_mix_stream
+
+    src = tempfile.mkdtemp()
+    chk = tempfile.mkdtemp()
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        docs.where("doc_id < 300").write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = sample_mix_stream(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sample_stream")
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        docs.where("doc_id >= 300").write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.doc_id, r.lang, r.bucket, r.weight)
+            for r in spark.sql("SELECT * FROM sample_stream").collect()
+        }
+        expect = {
+            (r.doc_id, r.lang, r.bucket, r.weight)
+            for r in _txt_sample_mix(spark, SF_DIR).collect()
+        }
+        assert got == expect and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
