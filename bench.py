@@ -325,13 +325,29 @@ def scaling_worker(cores: int, n_pages: int, runs: int) -> None:
 
 
 def exec_fleet_worker(
-    lo: int, hi: int, n0: int, n1: int, runs: int, sig_prefix: str
+    lo: int,
+    hi: int,
+    n0: int,
+    n1: int,
+    runs: int,
+    sig_prefix: str,
+    workload: str = "flagship",
 ) -> None:
     """One pinned 4-core 'executor' JVM of a fleet — its own process, heap,
     GC and JIT, exactly like a cluster executor. -Xms=-Xmx+AlwaysPreTouch:
     concurrent heap GROWTH across JVMs thrashes the hypervisor's lazy page
     allocation (measured 6x wall inflation without it); real executors run
-    fixed heaps too."""
+    fixed heaps too.
+
+    workload='flagship' (default): the map-only tile-assignment pipeline.
+    workload='shuffle': the worst-case dedup shuffle — groupBy over a
+    ~unique 64-bit url hash moves the ENTIRE shard through one wide
+    exchange with no map-side-combine relief, then a global verifying
+    aggregate. In-sandbox a fleet's executors cannot exchange with each
+    other (separate local-mode JVMs), so this measures the single-node
+    component of shuffle scaling: whether 4 concurrent shuffle-heavy JVMs
+    (shuffle-file I/O, page cache, memory bandwidth) degrade each other
+    vs one — the interference term a real 4x cluster node would see."""
     os.sched_setaffinity(0, set(range(lo, hi)))
     cores = hi - lo
     from pyspark.sql import functions as F
@@ -353,11 +369,28 @@ def exec_fleet_worker(
         },
     )
 
-    def job(a: int, b: int) -> int:
-        pages = synth_pages(spark, b - a, 32).withColumn(
-            "page_id", F.col("page_id") + a
-        )
-        return _force_full_compute(tile_assignment(spark, pages, k=3))
+    if workload == "shuffle":
+
+        def job(a: int, b: int) -> int:
+            pages = synth_pages(spark, b - a, 32).withColumn(
+                "page_id", F.col("page_id") + a
+            )
+            dedup = pages.groupBy(F.xxhash64("url").alias("k")).agg(
+                F.count("*").alias("c"), F.max("warc_ts").alias("latest")
+            )
+            return dedup.select(
+                F.count("*").alias("n"),
+                F.sum("c").alias("s"),
+                F.count("latest").alias("t"),
+            ).collect()[0]["n"]
+
+    else:
+
+        def job(a: int, b: int) -> int:
+            pages = synth_pages(spark, b - a, 32).withColumn(
+                "page_id", F.col("page_id") + a
+            )
+            return _force_full_compute(tile_assignment(spark, pages, k=3))
 
     job(n0, n0 + 10_000)  # compiles the exact generated class (same +a literal)
     job(n0, n1)  # FULL untimed warmup: C2-JITs the hot loops and lets the
@@ -483,7 +516,10 @@ def run_scaling_exec(
 
 
 def run_scaling_exec_paired(
-    pages_per_exec: int = 30_000_000, pairs: int = 6, cooldown_sec: float = 20.0
+    pages_per_exec: int = 30_000_000,
+    pairs: int = 6,
+    cooldown_sec: float = 20.0,
+    workload: str = "flagship",
 ) -> None:
     """INTERLEAVED-PAIRED two-cluster-size measurement (round 3).
 
@@ -512,7 +548,7 @@ def run_scaling_exec_paired(
                     sys.executable, os.path.abspath(__file__), "--exec-worker",
                     str(e * 4), str((e + 1) * 4),
                     str(e * pages_per_exec), str((e + 1) * pages_per_exec),
-                    str(pairs), sig,
+                    str(pairs), sig, workload,
                 ],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
@@ -569,7 +605,11 @@ def run_scaling_exec_paired(
     print(
         json.dumps(
             {
-                "metric": "tile_assignment_executor_scaling_paired",
+                "metric": (
+                    "tile_assignment_executor_scaling_paired"
+                    if workload == "flagship"
+                    else f"{workload}_executor_scaling_paired"
+                ),
                 "value": med,
                 "unit": "efficiency_1_to_4_executors_median_clean_pair",
                 "eff_best_pair": max(all_effs),
@@ -657,14 +697,27 @@ def run_scaling(n_pages: int = 120_000_000, runs: int = 4) -> None:
 if __name__ == "__main__":
     if "--exec-worker" in sys.argv:
         i = sys.argv.index("--exec-worker")
-        a = sys.argv[i + 1 : i + 7]
-        exec_fleet_worker(int(a[0]), int(a[1]), int(a[2]), int(a[3]), int(a[4]), a[5])
+        a = sys.argv[i + 1 : i + 8]
+        exec_fleet_worker(
+            int(a[0]), int(a[1]), int(a[2]), int(a[3]), int(a[4]), a[5],
+            a[6] if len(a) > 6 else "flagship",
+        )
     elif "--scaling-exec-paired" in sys.argv:
         i = sys.argv.index("--scaling-exec-paired")
         extra = sys.argv[i + 1 :]
         pages = int(extra[0]) if extra and extra[0].isdigit() else 30_000_000
         pairs = int(extra[1]) if len(extra) > 1 and extra[1].isdigit() else 6
-        run_scaling_exec_paired(pages, pairs)
+        wl = (
+            extra[2]
+            if len(extra) > 2 and not extra[2].isdigit()
+            else "flagship"
+        )
+        cool = (
+            float(extra[3])
+            if len(extra) > 3 and extra[3].replace(".", "").isdigit()
+            else 20.0
+        )
+        run_scaling_exec_paired(pages, pairs, cooldown_sec=cool, workload=wl)
     elif "--scaling-exec" in sys.argv:
         i = sys.argv.index("--scaling-exec")
         extra = sys.argv[i + 1 :]
