@@ -38,6 +38,32 @@ from pyspark.sql import functions as F
 from ..session import materialize as _materialize
 
 from ..functions import cells
+from ..functions.sqlgen import flit
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _inline_topk_sql(
+    rows: list[tuple], k: int, point_key: str, lon_sql: str, lat_sql: str
+) -> str:
+    """topk expression over a literal point list as ONE generated SQL string.
+
+    slice(sort_array(array(named_struct('dist2', ..., '<key>', ...))), 1, k)
+    — identical semantics to the Column-by-Column construction (struct
+    ordering is lexicographic by field: dist2 then point id), but a single
+    F.expr parse instead of ~8 py4j round-trips per point (guide §1/§5:
+    measured 0.85 s of pure driver time per invocation at 13 points)."""
+    terms = ", ".join(
+        "named_struct('dist2', "
+        f"(({lon_sql}) - {flit(px)}) * (({lon_sql}) - {flit(px)})"
+        f" + (({lat_sql}) - {flit(py)}) * (({lat_sql}) - {flit(py)}), "
+        f"{_sql_str(point_key)}, {_sql_str(pid)})"
+        for pid, px, py in rows
+    )
+    return f"slice(sort_array(array({terms})), 1, {k})"
 
 
 def _with_cell_xy(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
@@ -60,6 +86,7 @@ def knn_join(
     max_ring: int = 4,
     broadcast_points: bool = True,
     strategy: str = "auto",
+    points_rows: list[tuple] | None = None,
 ) -> DataFrame:
     """Exact kNN join: for each query row, the k nearest point rows.
 
@@ -75,18 +102,29 @@ def knn_join(
       'auto'  — count the points side (cheap: it's the small side by
                 contract) and pick. This mirrors Catalyst's broadcast-vs-
                 shuffle decision, which cannot see through the ring loop.
+
+    points_rows: optional pre-collected [(point_id, lon, lat), ...] for the
+    'inline' strategy — skips the per-invocation points.collect() Spark job
+    (a dimension table the caller already holds driver-side, e.g. the
+    STATIONS constant, costs ~0.5 s of createDataFrame+collect per call
+    otherwise; guide §5: no driver data work on the query path).
     """
     size = cells.cell_size_deg(res)
     nx = cells.nx(res)
     q = _with_cell_xy(queries, res).select(
         query_key, F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"), "_cx", "_cy"
     )
-    p = _with_cell_xy(points, res).select(
-        point_key,
-        F.col("lon").alias("_plon"),
-        F.col("lat").alias("_plat"),
-        (F.col("_cy") * nx + F.col("_cx")).alias("_pcell"),
-    )
+    # the inline fast path never touches the points DataFrame (the caller
+    # may pass points=None with points_rows instead), so only build the
+    # celled points projection for the join-based strategies
+    p = None
+    if not (strategy == "inline" and points_rows is not None):
+        p = _with_cell_xy(points, res).select(
+            point_key,
+            F.col("lon").alias("_plon"),
+            F.col("lat").alias("_plat"),
+            (F.col("_cy") * nx + F.col("_cx")).alias("_pcell"),
+        )
     if strategy == "auto":
         n_points = points.count()
         if n_points <= INLINE_POINTS_THRESHOLD:
@@ -99,7 +137,7 @@ def knn_join(
     # 'rings' exists precisely because the points side is too big to
     # broadcast — hinting it there would push the full table to every
     # executor (and the driver) in each ring join.
-    if broadcast_points and strategy != "rings":
+    if broadcast_points and strategy != "rings" and p is not None:
         p = F.broadcast(p)
     if strategy == "inline":
         # SHUFFLE-FREE path for dimension-sized points (stations): the point
@@ -108,20 +146,14 @@ def knn_join(
         # map → embarrassingly parallel, the optimal plan at any scale when
         # the dim side is tiny. Struct ordering = lexicographic by field
         # (dist2 then point_id) — the same deterministic tie-break.
-        rows = points.select(point_key, "lon", "lat").collect()
-        qlon, qlat = F.col("_qlon"), F.col("_qlat")
-        structs = [
-            F.struct(
-                (
-                    (qlon - F.lit(float(px))) * (qlon - F.lit(float(px)))
-                    + (qlat - F.lit(float(py))) * (qlat - F.lit(float(py)))
-                ).alias("dist2"),
-                F.lit(r[point_key]).alias(point_key),
-            )
-            for r in rows
-            for px, py in [(r["lon"], r["lat"])]
-        ]
-        topk = F.slice(F.sort_array(F.array(*structs)), 1, k)
+        if points_rows is None:
+            points_rows = [
+                (r[point_key], r["lon"], r["lat"])
+                for r in points.select(point_key, "lon", "lat").collect()
+            ]
+        topk = F.expr(
+            _inline_topk_sql(points_rows, k, point_key, "_qlon", "_qlat")
+        )
         return q.select(
             query_key, F.posexplode(topk).alias("_r", "_s")
         ).select(
@@ -227,36 +259,39 @@ def knn_inline_arrays(
     `{prefix}_stations: array<string>` and `{prefix}_dist2: array<double>`
     ordered by (dist2, point_id). Zero shuffle — the scale-optimal plan for
     the flagship pipeline's station lookup."""
-    qlon, qlat = F.col(lon), F.col(lat)
     # sort (dist2, idx:int) structs — no string copying inside the sort;
     # names materialize only for the k winners via a literal-array lookup.
     # Point ids must be sorted so idx order == id order on distance ties
     # (keeps the (dist2, point_id) tie-break contract).
     rows_sorted = sorted(points_rows, key=lambda r: r[0])
-    names = F.array(*[F.lit(pid) for pid, _, _ in rows_sorted])
-    structs = [
-        F.struct(
-            (
-                (qlon - F.lit(float(px))) * (qlon - F.lit(float(px)))
-                + (qlat - F.lit(float(py))) * (qlat - F.lit(float(py)))
-            ).alias("dist2"),
-            F.lit(i).alias("idx"),
-        )
-        for i, (pid, px, py) in enumerate(rows_sorted)
-    ]
+    names_sql = "array({})".format(
+        ", ".join(_sql_str(pid) for pid, _, _ in rows_sorted)
+    )
     # sort_array (natural struct order = (dist2, idx)) + GetArrayStructFields
     # keep the whole expression inside whole-stage codegen; array_sort/
     # transform lambdas are CodegenFallback and would interpret per row
-    # (verified via explain, PLANS.md).
-    topk = F.slice(F.sort_array(F.array(*structs)), 1, k)
-    out = df.withColumn("_topk", topk)
-    idx_arr = F.col("_topk.idx")
+    # (verified via explain, PLANS.md). The whole thing is ONE generated SQL
+    # string — a single F.expr parse instead of ~8 py4j calls per point
+    # (round 6, guide §1: expression construction was the dominant cost of
+    # the flagship plan build at 13 points x 2 builds per bench query).
+    struct_terms = ", ".join(
+        "named_struct('dist2', "
+        f"({lon} - {flit(px)}) * ({lon} - {flit(px)})"
+        f" + ({lat} - {flit(py)}) * ({lat} - {flit(py)}), 'idx', {i})"
+        for i, (pid, px, py) in enumerate(rows_sorted)
+    )
+    out = df.withColumn(
+        "_topk", F.expr(f"slice(sort_array(array({struct_terms})), 1, {k})")
+    )
     # idx→name via nested element_at on the literal names array per slot
-    station_cols = [
-        F.element_at(names, F.element_at(idx_arr, s + 1) + 1) for s in range(k)
-    ]
+    stations_sql = "array({})".format(
+        ", ".join(
+            f"element_at({names_sql}, element_at(_topk.idx, {s + 1}) + 1)"
+            for s in range(k)
+        )
+    )
     return (
-        out.withColumn(f"{out_prefix}_stations", F.array(*station_cols))
+        out.withColumn(f"{out_prefix}_stations", F.expr(stations_sql))
         .withColumn(f"{out_prefix}_dist2", F.col("_topk.dist2"))
         .drop("_topk")
     )
