@@ -101,17 +101,38 @@ _sql_query(
 # J8 / W5 — compose-latest: later non-null observation wins per cell
 # (ref: viirs.py:660-667 scene overlay)
 # ---------------------------------------------------------------------------
-_sql_query(
-    "fld_compose_latest",
-    f"""
+_COMPOSE_LATEST_ORACLE = f"""
     WITH field AS ({FIELD_SQL})
     SELECT i, j, v AS latest_v, ts AS latest_ts FROM (
       SELECT i, j, v, ts,
              row_number() OVER (PARTITION BY i, j ORDER BY ts DESC, event_id DESC) AS rn
       FROM field WHERE v IS NOT NULL
     ) t WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("fld_compose_latest", _COMPOSE_LATEST_ORACLE)
+def fld_compose_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6 (guide §2.3 "aggregate before you shuffle"): the row_number
+    window shuffles and sorts EVERY observation row to pick one winner per
+    cell; `max(struct(ts, event_id, v))` computes the same winner as a hash
+    aggregate with map-side partial aggregation, so the exchange carries one
+    pre-reduced row per (cell, map partition) instead of the full table —
+    at corpus scale the shuffle shrinks from O(rows) to O(cells).
+    Identical values: (ts, event_id) is unique per row, struct comparison
+    is lexicographic (ts, then event_id — v never breaks a tie), and DESC
+    row_number rank 1 == max. Oracle keeps the window formulation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH field AS ({FIELD_SQL})
+        SELECT i, j, m.v AS latest_v, m.ts AS latest_ts FROM (
+          SELECT i, j, max(struct(ts, event_id, v)) AS m
+          FROM field WHERE v IS NOT NULL
+          GROUP BY i, j
+        ) t
+        """
+    )
 
 # ---------------------------------------------------------------------------
 # W1 / W2 — spatial finite difference along i within (j, day)

@@ -37,15 +37,16 @@ _MAT_PREV: dict[str, list] = {}  # base view -> older registered names
 _MAT_GAP = 8  # drop views only this many generations old (see below)
 
 
-def _sql_query_materialized(
-    name: str, spark_pre: str, view: str, spark_tail: str, oracle: str
+def _df_query_materialized(
+    name: str, pre_fn, view: str, spark_tail: str, oracle: str
 ):
-    """Register a Spark query whose shared intermediate (`spark_pre`) is
-    MATERIALIZED once (localCheckpoint) and exposed to `spark_tail` as a
-    temp view. Spark INLINES WITH-CTEs, so a CTE referenced N times is
-    recomputed N times (the LSH tail references sigs 6x); DuckDB
-    materializes multi-reference CTEs, so the oracle keeps the plain
-    one-statement form. Values identical — only the Spark plan changes.
+    """Register a Spark query whose shared intermediate (built by
+    `pre_fn(spark, sf_dir) -> DataFrame`) is MATERIALIZED once
+    (localCheckpoint) and exposed to `spark_tail` as a temp view. Spark
+    INLINES WITH-CTEs, so a CTE referenced N times is recomputed N times
+    (the LSH tail references sigs 6x); DuckDB materializes multi-reference
+    CTEs, so the oracle keeps the plain one-statement form. Values
+    identical — only the Spark plan changes.
 
     The view name gets a per-invocation suffix so two concurrent
     invocations in one session can't clobber each other's views. The
@@ -69,7 +70,7 @@ def _sql_query_materialized(
             spark.catalog.dropTempView(hist.pop(0))
         from ..session import materialize
 
-        base = materialize(spark.sql(spark_pre))
+        base = materialize(pre_fn(spark, sf_dir))
         base.createOrReplaceTempView(vname)
         # word-boundary substitution: a raw str.replace would corrupt any
         # tail where the view name occurs as a substring of another
@@ -81,6 +82,19 @@ def _sql_query_materialized(
     fn.__name__ = name
     register(name, oracle)(fn)
     return fn
+
+
+def _sql_query_materialized(
+    name: str, spark_pre: str, view: str, spark_tail: str, oracle: str
+):
+    """SQL-text flavor of `_df_query_materialized`."""
+    return _df_query_materialized(
+        name,
+        lambda spark, sf_dir, _p=spark_pre: spark.sql(_p),
+        view,
+        spark_tail,
+        oracle,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -300,12 +314,32 @@ _MINHASH_BODY = f"""
     )
 """
 
-_sql_query(
+# Spark side (round 6): the window+distinct+groupBy SQL form shuffles the
+# tokenized corpus three times to compute a per-document reduction; the
+# Arrow kernel computes bit-identical signatures in one map-only pass
+# (operators/textsig.py, guide §2.4/§4.2). min over the multiset of shingle
+# codes equals min over the DISTINCT set, so skipping the distinct is
+# value-preserving. Oracle keeps the independent SQL formulation.
+
+
+def _minhash_sigs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textsig import minhash_sigs_arrow
+    from ..sources.tables import load_table
+
+    return minhash_sigs_arrow(
+        load_table(spark, sf_dir, "documents"), _PERMS, _MH_PRIME
+    )
+
+
+def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sigs_engine(spark, sf_dir)
+
+
+_dedup_minhash_sig.__name__ = "dedup_minhash_sig"
+register(
     "dedup_minhash_sig",
-    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_SPARK) + "    SELECT * FROM sigs",
-    oracle=_MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK)
-    + "    SELECT * FROM sigs",
-)
+    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK) + "    SELECT * FROM sigs",
+)(_dedup_minhash_sig)
 
 _BANDS = [
     f"(mh{2 * i} * {_MH_PRIME + 1} + mh{2 * i + 1})" for i in range(_N_PERM // 2)
@@ -335,10 +369,12 @@ _LSH_TAIL = f"""
 """
 # Spark references sigs 6x in the LSH tail (4 band projections + 2 exact
 # re-rank joins) and inlines CTEs -> the whole shingle+minhash pipeline
-# would run 6x. Materialize sigs once.
-_sql_query_materialized(
+# would run 6x. Materialize sigs once — fed by the map-only Arrow kernel
+# (round 6), so the only exchanges left in the whole query are the band
+# join itself.
+_df_query_materialized(
     "dedup_minhash_lsh",
-    _MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_SPARK) + "    SELECT * FROM sigs",
+    _minhash_sigs_engine,
     "mh_sigs",
     "    WITH sigs AS (SELECT * FROM mh_sigs)" + _LSH_TAIL,
     oracle=_MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK) + _LSH_TAIL,

