@@ -29,6 +29,8 @@ ADVERSARIAL = [
     "€uro snowman☃ mixed",
     "😀astral 😀astral x",
     "éé àcçents ünïcode",
+    "a😀b second-char-astral x😀",
+    "€2 ß3 astral😀tail",
     "a-b.c,d;e f|g",
     "tab\tis one word",
 ]
