@@ -72,12 +72,11 @@ def _df_query_materialized(
 
         base = materialize(pre_fn(spark, sf_dir))
         base.createOrReplaceTempView(vname)
+        tail = spark_tail() if callable(spark_tail) else spark_tail
         # word-boundary substitution: a raw str.replace would corrupt any
         # tail where the view name occurs as a substring of another
         # identifier or literal
-        return spark.sql(
-            _re.sub(rf"\b{_re.escape(view)}\b", vname, spark_tail)
-        )
+        return spark.sql(_re.sub(rf"\b{_re.escape(view)}\b", vname, tail))
 
     fn.__name__ = name
     register(name, oracle)(fn)
@@ -756,14 +755,101 @@ def _crossdoc_sql(dialect: str) -> str:
 
 _TXT_CROSSDOC_DUCK = _crossdoc_sql("duck")
 
+# Round 6 Spark-side restructure (values identical, pinned by the DuckDB
+# twin in CI + hypothesis property tests):
+#
+# 1. Shingles are built from the word ARRAY (transform over sequence +
+#    slice + concat_ws) instead of posexplode + a lead() window — the
+#    window's hash(doc_id) exchange shuffled EVERY word of the corpus;
+#    now shingle construction is map-side and the first exchange carries
+#    the already-reduced (doc_id, shingle, count) rows. concat_ws over
+#    slice(ws, i, 5) equals concat_ws(word, w1..w4) including empty
+#    tokens; `WHERE w4 IS NOT NULL` equals taking windows i in
+#    [1, size-4].
+# 2. per_doc is materialized once; the old single-statement form inlined
+#    the whole tokenize+window pipeline TWICE (verified in the executed
+#    plan: two Generate/Window subtrees).
+# 3. Hot-shingle guard (VERDICT r5 #7, guide §2.5 "broadcast-join just
+#    the hot keys"): a viral boilerplate shingle at web scale would pin
+#    df(s) rows of the per_doc side onto one reducer of the doc-frequency
+#    join. df rows with doc_freq >= PYOFS_CROSSDOC_HOT_DF (default 10^6;
+#    a dimension-sized set by construction — at most
+#    total_pairs/threshold entries) join BROADCAST map-side; only the
+#    remaining cold rows — each with bounded fanout — enter the shuffle
+#    join. Every per_doc row matches exactly one df row on exactly one
+#    branch, so the union is a partition of the original join output.
+_CROSSDOC_HOT_DF_DEFAULT = 1_000_000
 
-def _txt_crossdoc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CROSSDOC_PERDOC_SPARK = """
+    SELECT doc_id, shingle, count(*) AS c FROM (
+      SELECT doc_id, explode(CASE WHEN size(ws) >= 5
+               THEN transform(sequence(1, size(ws) - 4),
+                              i -> concat_ws(' ', slice(ws, i, 5)))
+               ELSE array() END) AS shingle
+      FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+    ) GROUP BY doc_id, shingle
+"""
+
+
+def _crossdoc_tail_sql(hot_df: int) -> str:
+    return f"""
+    WITH df AS (
+      SELECT shingle, count(*) AS doc_freq FROM cd_perdoc GROUP BY shingle
+    ),
+    hot AS (SELECT /*+ BROADCAST */ * FROM df WHERE doc_freq >= {hot_df}),
+    j1 AS (
+      SELECT p.doc_id, p.shingle, p.c, h.doc_freq AS hot_freq
+      FROM cd_perdoc p LEFT JOIN hot h ON p.shingle = h.shingle
+    ),
+    joined AS (
+      SELECT doc_id, c, hot_freq AS doc_freq FROM j1 WHERE hot_freq IS NOT NULL
+      UNION ALL
+      SELECT p.doc_id, p.c, d.doc_freq
+      FROM (SELECT doc_id, shingle, c FROM j1 WHERE hot_freq IS NULL) p
+      JOIN (SELECT * FROM df WHERE doc_freq < {hot_df}) d
+        ON p.shingle = d.shingle
+    )
+    SELECT doc_id,
+           cast(sum(c) AS bigint) AS n_shingles,
+           count(*) AS n_distinct_shingles,
+           cast(sum(CASE WHEN doc_freq >= 2 THEN c ELSE 0 END)
+                AS bigint) AS n_dup_shingles,
+           {round6('sum(CASE WHEN doc_freq >= 2 THEN c ELSE 0 END)'
+                   ' * 1.0e0 / sum(c)')} AS dup_shingle_frac,
+           max(doc_freq) AS max_doc_freq
+    FROM joined
+    GROUP BY doc_id
+    """
+
+
+def _crossdoc_hot_df() -> int:
+    """Hot-shingle broadcast threshold — scale-dependent, so env-tunable
+    (production: size so that threshold x bytes/row stays well under a
+    reducer's task budget; the default 10^6 keeps any cold key's join
+    fanout at ~10^6 rows)."""
+    import os as _os
+
+    return int(
+        _os.environ.get("PYOFS_CROSSDOC_HOT_DF", _CROSSDOC_HOT_DF_DEFAULT)
+    )
+
+
+def _crossdoc_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_crossdoc_sql("spark"))
+    return spark.sql(_CROSSDOC_PERDOC_SPARK)
 
 
-_txt_crossdoc_shingles.__name__ = "txt_crossdoc_shingles"
-register("txt_crossdoc_shingles")(_txt_crossdoc_shingles)
+# rows-only registration (oracle=None): the DuckDB twin lives in CI
+# (tests/test_txt_repetition.py + hypothesis property tests), NOT in
+# oracle_sql() — adding it there would reorder the driver's 50-slot
+# oracle-gated window.
+_txt_crossdoc_shingles = _df_query_materialized(
+    "txt_crossdoc_shingles",
+    _crossdoc_pre,
+    "cd_perdoc",
+    lambda: _crossdoc_tail_sql(_crossdoc_hot_df()),
+    oracle=None,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -933,6 +1019,24 @@ register("dedup_components")(_dedup_components)
 # threshold. Scale shape: map-only — a scan-local filter + CASE against a
 # 5-row inline dim; zero shuffles at any corpus size (plan-asserted).
 #
+# Round 6 overflow fix (VERDICT r5 "What's wrong #1"): the naive
+# `doc_id * 2654435761` exceeds 2^63 once doc_id >= 3,474,701,543 — ANSI
+# Spark throws, non-ANSI wraps two's-complement while DuckDB promotes to
+# INT128, so parity and the keep decision both break at exactly the
+# 10^12-row design scale. The multiply is now done in 16-bit limbs of the
+# low 32 bits (only the low 32 bits of doc_id can affect a mod-2^32
+# product): with l = d % 2^16 and h = (d % 2^32 - l) / 2^16,
+#   (d * C) mod 2^32 = (l*C + ((h*C) mod 2^32) * 2^16) mod 2^32,
+# every intermediate <= 4.6e14 < 2^63 (same discipline as
+# functions/geocode.py documents for its products). The limb split's
+# division is exact: the numerator is a multiple of 2^16 below 2^32, so
+# the double quotient is an exact integer in BOTH engines (DuckDB's
+# round-on-cast and Spark's truncate-on-cast agree on exact integers).
+# For every doc_id where the old hash was well-defined the value is
+# BIT-IDENTICAL, so existing fixtures and the append-stability property
+# are unchanged; tests/test_sample_mix.py pins Spark==DuckDB==bigint-exact
+# Python at doc_ids around 2^62.
+#
 # Rows-only + CI-guarded DuckDB parity (tests/test_components.py),
 # driver's 50 hash slots stay on the SURVEY §2 operators.
 # ---------------------------------------------------------------------------
@@ -945,14 +1049,25 @@ _MIX_CTE = "\n      UNION ALL\n".join(
     f"      SELECT '{lang}' AS lang, {k} AS keep_n" for lang, k in _MIX_KEEP.items()
 )
 
+
+def mix_bucket_sql(col: str = "doc_id") -> str:
+    """Overflow-safe `floor(((col * 2654435761) mod 2^32) / 2^20)` as SQL
+    that parses and evaluates identically on Spark and DuckDB for the full
+    nonnegative int64 range (see the limb-split derivation above)."""
+    c = 2654435761
+    lo = f"({col} % 65536)"
+    hi = f"cast((({col} % 4294967296) - {lo}) / 65536.0e0 as bigint)"
+    prod32 = f"(({lo} * {c} + (({hi} * {c}) % 4294967296) * 65536) % 4294967296)"
+    return f"cast(floor({prod32} / 1048576.0e0) as bigint)"
+
+
 _TXT_SAMPLE_MIX_SQL = f"""
     WITH mix AS (
 {_MIX_CTE}
     ),
     u AS (
       SELECT doc_id, lang,
-             cast(floor(((doc_id * 2654435761) % 4294967296) / 1048576.0e0)
-                  as bigint) AS bucket
+             {mix_bucket_sql("doc_id")} AS bucket
       FROM documents
     )
     SELECT u.doc_id AS doc_id, u.lang AS lang, u.bucket AS bucket,

@@ -17,16 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.queries_text import _MIX_KEEP
+from ..plans.queries_text import _MIX_KEEP, mix_bucket_sql
 
 
 def _bucket() -> Column:
-    # identical arithmetic to the batch SQL: Knuth multiplicative step,
-    # top 12 of 32 bits (floating divide is exact at these magnitudes)
-    return F.floor(
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
-        / F.lit(1048576.0)
-    ).cast("long")
+    # IDENTICAL expression text to the batch SQL (single source of truth:
+    # queries_text.mix_bucket_sql) — the round-6 overflow-safe limb-split
+    # form, well-defined over the full nonnegative int64 doc_id range
+    return F.expr(mix_bucket_sql("doc_id"))
 
 
 def _keep_n() -> Column:

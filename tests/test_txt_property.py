@@ -127,3 +127,29 @@ def test_decontam_parity_random_corpora(spark, docs):
     _assert_parity(
         spark, _decontam_sql("spark"), _decontam_sql("duck"), docs
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_crossdoc_round6_form_parity_random_corpora(spark, docs):
+    """The round-6 Spark restructure (array-built shingles, hot/cold
+    split doc-frequency join) must stay value-identical to the DuckDB
+    twin on random corpora. hot_df=2 forces BOTH join branches to carry
+    rows, so the union-partition argument is exercised, not just the
+    cold path."""
+    from pyofs_spark.plans.queries_text import (
+        _CROSSDOC_PERDOC_SPARK,
+        _crossdoc_sql,
+        _crossdoc_tail_sql,
+    )
+
+    # the real query runs the tail over a materialized VIEW; inline the
+    # pre as a leading CTE here (the tail's own WITH merges into it)
+    new_spark_sql = f"WITH cd_perdoc AS ({_CROSSDOC_PERDOC_SPARK})" + (
+        _crossdoc_tail_sql(2).replace("WITH df AS", ", df AS", 1)
+    )
+    _assert_parity(spark, new_spark_sql, _crossdoc_sql("duck"), docs)
