@@ -183,10 +183,18 @@ def track_contour(
     dt: float,
     n_steps: int,
     order: int = 4,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Driver-loop advection (ref: track_contour:997-1028). Returns the
-    trajectory table (step, contour_id, vertex_idx, x, y)."""
+    trajectory table (step, contour_id, vertex_idx, x, y).
+
+    checkpoint_every=1 (round 6): the returned trajectory UNIONS every
+    step's frame, and Spark does not share common subplans across union
+    branches — with cadence k, frame s within a window re-executes s
+    chained Python stages, an O(k²) recompute per window (measured 30%
+    of the query). Vertex tables are small by contract, so materializing
+    each step trades negligible storage for linear total work; raise the
+    cadence only for huge vertex tables where checkpoint I/O dominates."""
     cur = vertices.select("contour_id", "vertex_idx", "x", "y")
     frames = [cur.withColumn("step", F.lit(0))]
     for s in range(1, n_steps + 1):

@@ -156,11 +156,21 @@ def geo_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pip import pip_fixed
 
+    # Round 6 (guide §4.4's duplication problem, SQL-expression flavor):
+    # filtering polygon_id IS NOT NULL *before* the aggregate lets Catalyst
+    # push the predicate below the projection, cloning the entire unrolled
+    # ray-cast (with the geocode lon/lat INLINED at every reference) into a
+    # second per-row evaluation — measured 0.83 s vs 0.12 s for a single
+    # PIP pass. Dropping the NULL group via a HAVING on max(polygon_id)
+    # (groupwise-equal to the key, but an aggregate output, which no rule
+    # pushes below the Aggregate) keeps ONE evaluation; the filter then
+    # touches <= n_polygons + 1 aggregated rows. Values identical.
     return (
         pip_fixed(geodocs(spark, sf_dir))
-        .filter(F.col("polygon_id").isNotNull())
         .groupBy("polygon_id")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.count("*").alias("n_docs"), F.max("polygon_id").alias("_pid"))
+        .filter(F.col("_pid").isNotNull())
+        .select("polygon_id", "n_docs")
     )
 
 

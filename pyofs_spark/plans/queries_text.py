@@ -322,12 +322,16 @@ _MINHASH_BODY = f"""
 
 
 def _minhash_sigs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textsig import minhash_sigs_arrow
-    from ..sources.tables import load_table
+    import os as _os
 
-    return minhash_sigs_arrow(
-        load_table(spark, sf_dir, "documents"), _PERMS, _MH_PRIME
+    from ..operators.textsig import minhash_sigs_arrow
+    from ..sources.tables import load_table, spread_single_split
+
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _os.path.join(sf_dir, "documents.parquet"),
     )
+    return minhash_sigs_arrow(docs, _PERMS, _MH_PRIME)
 
 
 def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,11 +435,15 @@ _SIMHASH_TAIL = f"""
     WHERE {{HAM}} <= 2
 """
 # sigs feeds the %5 sub used 5x (3 band projections + 2 re-check joins):
-# materialize the signature table once on the Spark side.
+# materialize the signature table once on the Spark side. The tail only
+# ever reads `sub` = sigs WHERE doc_id % 5 = 0, so the pre applies that
+# filter BEFORE materializing (round 6: pushes to the parquet scan — the
+# old pre computed and checkpointed 5x the signatures the query can use;
+# the tail's own WHERE stays and is idempotent, values unchanged).
 _sql_query_materialized(
     "dedup_simhash",
     _SIMHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))")
-    + "    SELECT * FROM sigs",
+    + "    SELECT * FROM sigs WHERE doc_id % 5 = 0",
     "sh_sigs",
     "    WITH sigs AS (SELECT * FROM sh_sigs)"
     + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_SPARK),
@@ -497,12 +505,19 @@ def _cosine_topk_sql(engine: str) -> str:
 
 
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
     from ..operators.similarity import cosine_topk_bruteforce
-    from ..sources.tables import load_table
+    from ..sources.tables import load_table, spread_single_split
 
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") % 50 == 0)
-    return cosine_topk_bruteforce(vecs, queries, k=_COS_K, dim=64)
+    # candidate side feeds the einsum kernel: fan a single-split scan out
+    # so the matmul batches run across cores, not in one task (round 6)
+    cand = spread_single_split(
+        vecs, _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return cosine_topk_bruteforce(cand, queries, k=_COS_K, dim=64)
 
 
 register("sim_cosine_topk", _cosine_topk_sql("duck"))(_sim_cosine_topk)
