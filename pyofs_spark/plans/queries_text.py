@@ -375,11 +375,40 @@ _LSH_TAIL = f"""
 # would run 6x. Materialize sigs once — fed by the map-only Arrow kernel
 # (round 6), so the only exchanges left in the whole query are the band
 # join itself.
+#
+# Round 6, second pass: the oracle's UNION ALL band projection scans sigs
+# once PER BAND; the Spark tail now emits all band keys in a single pass
+# via posexplode of an inline struct array (4 scans -> 1 on each join
+# side; at corpus scale sigs is corpus-sized, so that is 6 fewer full
+# passes across the query). Row-for-row identical bands table — the
+# explode produces exactly the UNION ALL's (doc_id, band_idx, band_key)
+# rows. Oracle keeps the UNION ALL form.
+_BAND_STRUCTS = ", ".join(
+    f"named_struct('band_idx', {i}, 'band_key', {b})"
+    for i, b in enumerate(_BANDS)
+)
+_LSH_TAIL_SPARK = f"""
+    , bands AS (
+      SELECT doc_id, b.band_idx AS band_idx, b.band_key AS band_key
+      FROM sigs LATERAL VIEW explode(array({_BAND_STRUCTS})) t AS b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           ({_EQ_SUM}) * 1.0e0 / {_N_PERM} AS est_sim
+    FROM cand
+    JOIN sigs a ON a.doc_id = cand.id_a
+    JOIN sigs b ON b.doc_id = cand.id_b
+"""
 _df_query_materialized(
     "dedup_minhash_lsh",
     _minhash_sigs_engine,
     "mh_sigs",
-    "    WITH sigs AS (SELECT * FROM mh_sigs)" + _LSH_TAIL,
+    "    WITH sigs AS (SELECT * FROM mh_sigs)" + _LSH_TAIL_SPARK,
     oracle=_MINHASH_BODY.replace("{POSWORDS}", _POS_WORDS_DUCK) + _LSH_TAIL,
 )
 
@@ -440,13 +469,41 @@ _SIMHASH_TAIL = f"""
 # filter BEFORE materializing (round 6: pushes to the parquet scan — the
 # old pre computed and checkpointed 5x the signatures the query can use;
 # the tail's own WHERE stays and is idempotent, values unchanged).
+# The Spark tail also emits all 3 band projections in ONE pass over sub
+# via posexplode (same 4-scans->1 rewrite as the minhash tail; row-for-row
+# identical bands table; oracle keeps the UNION ALL form).
+_SH_BAND_STRUCTS = ", ".join(
+    f"named_struct('band_idx', {i}, 'band_bits', "
+    f"cast(floor(simhash / {16 ** i}.0e0) as bigint) % 16)"
+    for i in range(3)
+)
+_SIMHASH_TAIL_SPARK = f"""
+    , sub AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % 5 = 0),
+    bands AS (
+      SELECT doc_id, b.band_idx AS band_idx, b.band_bits AS band_bits
+      FROM sub LATERAL VIEW explode(array({_SH_BAND_STRUCTS})) t AS b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+       AND x.doc_id < y.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b,
+           {{HAM}} AS hamming
+    FROM cand
+    JOIN sub a ON a.doc_id = cand.id_a
+    JOIN sub b ON b.doc_id = cand.id_b
+    WHERE {{HAM}} <= 2
+"""
 _sql_query_materialized(
     "dedup_simhash",
     _SIMHASH_BODY.replace("{UNNEST}", "explode(split(text, ' '))")
     + "    SELECT * FROM sigs WHERE doc_id % 5 = 0",
     "sh_sigs",
     "    WITH sigs AS (SELECT * FROM sh_sigs)"
-    + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_SPARK),
+    + _SIMHASH_TAIL_SPARK.replace("{HAM}", _HAMMING_SPARK),
     oracle=_SIMHASH_BODY.replace("{UNNEST}", "unnest(string_split(text, ' '))")
     + _SIMHASH_TAIL.replace("{HAM}", _HAMMING_DUCK),
 )
