@@ -387,22 +387,30 @@ _BAND_STRUCTS = ", ".join(
     f"named_struct('band_idx', {i}, 'band_key', {b})"
     for i, b in enumerate(_BANDS)
 )
+_EQ_SUM_XY = " + ".join(
+    f"(CASE WHEN x.mh{j} = y.mh{j} THEN 1 ELSE 0 END)" for j in range(_N_PERM)
+)
+# Fused Spark tail (round 6, second pass): the signatures ride THROUGH
+# the band join, est_sim is computed pre-dedup, and the DISTINCT becomes
+# a groupBy(id_a, id_b) max(est_sim) — every duplicate candidate pair
+# carries the same est_sim (same two signature rows), so max == the
+# oracle's single value, bit-for-bit (identical arithmetic expression).
+# This deletes BOTH re-rank joins: the whole tail is one equi-join + one
+# aggregate — at corpus scale two fewer shuffles of the candidate set and
+# two fewer passes over the signature table; the band exchange carries
+# the 8 mh columns (+64 B/row) in trade.
 _LSH_TAIL_SPARK = f"""
     , bands AS (
-      SELECT doc_id, b.band_idx AS band_idx, b.band_key AS band_key
+      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+             b.band_idx AS band_idx, b.band_key AS band_key
       FROM sigs LATERAL VIEW explode(array({_BAND_STRUCTS})) t AS b
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       AND x.doc_id < y.doc_id
     )
-    SELECT cand.id_a, cand.id_b,
-           ({_EQ_SUM}) * 1.0e0 / {_N_PERM} AS est_sim
-    FROM cand
-    JOIN sigs a ON a.doc_id = cand.id_a
-    JOIN sigs b ON b.doc_id = cand.id_b
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           max(({_EQ_SUM_XY}) * 1.0e0 / {_N_PERM}) AS est_sim
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
 """
 _df_query_materialized(
     "dedup_minhash_lsh",
@@ -477,25 +485,25 @@ _SH_BAND_STRUCTS = ", ".join(
     f"cast(floor(simhash / {16 ** i}.0e0) as bigint) % 16)"
     for i in range(3)
 )
+# Fused like the minhash tail: simhash rides through the band join, the
+# hamming re-check filters pre-dedup (every duplicate candidate pair has
+# identical simhash values, so the filter decision and the max()-deduped
+# outputs equal the oracle's join-then-filter form bit-for-bit), and both
+# re-check joins disappear — one equi-join + one aggregate total.
 _SIMHASH_TAIL_SPARK = f"""
     , sub AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % 5 = 0),
     bands AS (
-      SELECT doc_id, b.band_idx AS band_idx, b.band_bits AS band_bits
+      SELECT doc_id, simhash, b.band_idx AS band_idx, b.band_bits AS band_bits
       FROM sub LATERAL VIEW explode(array({_SH_BAND_STRUCTS})) t AS b
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
-       AND x.doc_id < y.doc_id
     )
-    SELECT cand.id_a, cand.id_b,
-           a.simhash AS sim_a, b.simhash AS sim_b,
-           {{HAM}} AS hamming
-    FROM cand
-    JOIN sub a ON a.doc_id = cand.id_a
-    JOIN sub b ON b.doc_id = cand.id_b
-    WHERE {{HAM}} <= 2
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           max(x.simhash) AS sim_a, max(y.simhash) AS sim_b,
+           max(bit_count(x.simhash ^ y.simhash)) AS hamming
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+     AND x.doc_id < y.doc_id
+    WHERE bit_count(x.simhash ^ y.simhash) <= 2
+    GROUP BY x.doc_id, y.doc_id
 """
 _sql_query_materialized(
     "dedup_simhash",
