@@ -117,6 +117,10 @@ def minhash_sigs_arrow(
             doc_off = np.frombuffer(words.buffers()[1], dtype=np.int32)[
                 words.offset : words.offset + n_docs + 1
             ].astype(np.int64)
+            # flatten() re-bases its output to the list's first referenced
+            # value; offsets here are absolute into the child array, so
+            # normalize (no-op for freshly built arrays where off[0]==0)
+            doc_off = doc_off - doc_off[0]
             lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
             c1 = _first_codepoints(flat)
             c2 = _first_codepoints(pc.utf8_slice_codeunits(flat, 1, 2))
