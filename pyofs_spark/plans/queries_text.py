@@ -915,6 +915,15 @@ def _crossdoc_hot_df() -> int:
 
 
 def _crossdoc_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-6 negative result, kept as a comment so it isn't retried: an
+    # Arrow-kernel per_doc (Python dict-count over split words, mirroring
+    # operators/textsig.py) measured SLOWER end-to-end (1.4 -> 1.8 s at
+    # sf0.1, ~3 -> ~5 s at sf1) because the kernel's OUTPUT — the full
+    # distinct shingle strings, ~20x the input text bytes — must cross
+    # the Python->JVM Arrow boundary; that costs more than the
+    # interpreted HOF lambdas save (guide §4.1: what matters is the bytes
+    # crossing, and here they sit on the wrong side). The JVM array form
+    # stays.
     register_views(spark, sf_dir)
     return spark.sql(_CROSSDOC_PERDOC_SPARK)
 
