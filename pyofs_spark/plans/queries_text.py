@@ -915,17 +915,23 @@ def _crossdoc_hot_df() -> int:
 
 
 def _crossdoc_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-6 negative result, kept as a comment so it isn't retried: an
-    # Arrow-kernel per_doc (Python dict-count over split words, mirroring
-    # operators/textsig.py) measured SLOWER end-to-end (1.4 -> 1.8 s at
-    # sf0.1, ~3 -> ~5 s at sf1) because the kernel's OUTPUT — the full
-    # distinct shingle strings, ~20x the input text bytes — must cross
-    # the Python->JVM Arrow boundary; that costs more than the
-    # interpreted HOF lambdas save (guide §4.1: what matters is the bytes
-    # crossing, and here they sit on the wrong side). The JVM array form
-    # stays.
+    # per_doc from the map-only Arrow kernel over the fanned-out scan; the
+    # HOF SQL above (`_CROSSDOC_PERDOC_SPARK`) is the parity twin. The
+    # measured trade (both directions, see shingle_counts_arrow): ~0.4 s
+    # worse at sf0.1 (serial Arrow transfer of the shingle strings), 2.4x
+    # better end-to-end at sf1 and 8.6x per core on the pre — interpreted
+    # per-element lambdas scale with shingle count, the kernel does not.
+    import os as _os
+
+    from ..operators.textsig import shingle_counts_arrow
+    from ..sources.tables import load_table, spread_single_split
+
     register_views(spark, sf_dir)
-    return spark.sql(_CROSSDOC_PERDOC_SPARK)
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _os.path.join(sf_dir, "documents.parquet"),
+    )
+    return shingle_counts_arrow(docs, n=5)
 
 
 # rows-only registration (oracle=None): the DuckDB twin lives in CI

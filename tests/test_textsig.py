@@ -64,3 +64,22 @@ def test_kernel_is_map_only(sig_frames):
     _, kernel = sig_frames
     plan = kernel._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shingle_counts_kernel_matches_sql_form(spark):
+    """shingle_counts_arrow must match the JVM array-SQL per_doc form
+    (which itself is property-fuzzed against DuckDB) on the adversarial
+    corpus — including empty tokens inside shingles, <5-word drops, and
+    unicode."""
+    from pyofs_spark.operators.textsig import shingle_counts_arrow
+    from pyofs_spark.plans.queries_text import _CROSSDOC_PERDOC_SPARK
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)]
+        + [(100, "a b c d e"), (101, "a b c d e f"), (102, "x  y z  w q")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    sql_form = {tuple(r) for r in spark.sql(_CROSSDOC_PERDOC_SPARK).collect()}
+    kernel = {tuple(r) for r in shingle_counts_arrow(docs, n=5).collect()}
+    assert kernel == sql_form and len(kernel) > 0
